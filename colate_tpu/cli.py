@@ -1,0 +1,161 @@
+"""Colate-compatible command-line interface.
+
+Flag surface mirrors the reference executables (Colate.cpp:11-45,
+CoalRate.cpp:10-27) so existing invocations work unchanged, plus engine
+extensions (--sampling, --devices).  Modes are dispatched by --mode like
+the reference (Colate.cpp:51-102).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="colate-tpu",
+        description="TPU-native coalescence-rate engine (Colate-compatible)",
+    )
+    p.add_argument("--mode", required=True,
+                   help="mut, make_tmp, preprocess_mut, print_tmp, compare_tmp, "
+                        "count_topo, calc_depth, get_deam, CondCoalRates, tree, "
+                        "local_ancestry")
+    p.add_argument("--anc", help="filename of file containing trees")
+    p.add_argument("--mut", help="filename of file containing mut")
+    p.add_argument("--target_bcf")
+    p.add_argument("--reference_bcf")
+    p.add_argument("--target_mask")
+    p.add_argument("--reference_mask")
+    p.add_argument("--target_table")
+    p.add_argument("--target_bam")
+    p.add_argument("--reference_bam")
+    p.add_argument("--target_tmp")
+    p.add_argument("--reference_tmp")
+    p.add_argument("--target_age", type=float, default=0.0)
+    p.add_argument("--reference_age", type=float, default=0.0)
+    p.add_argument("--ref_genome")
+    p.add_argument("--anc_genome")
+    p.add_argument("--mask")
+    p.add_argument("--mask_cutoff", type=float, default=0.9)
+    p.add_argument("--chr", dest="chr_file")
+    p.add_argument("--bins")
+    p.add_argument("--lineage_bin")
+    p.add_argument("--outgroup_tmrca", type=float)
+    p.add_argument("--years_per_gen", type=float, default=28.0)
+    p.add_argument("--coal")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--num_bootstraps", type=int, default=1)
+    p.add_argument("--filters", default="20,30,10",
+                   help="MAPQ,LEN,MAX_MISMATCH for BAM parsing")
+    p.add_argument("--strandfilter", action="store_true")
+    p.add_argument("--groups")
+    p.add_argument("--poplabels")
+    p.add_argument("--map")
+    p.add_argument("-i", "--input")
+    p.add_argument("-o", "--output", required=True)
+    # engine extensions
+    p.add_argument("--sampling", choices=["analytic", "mc_parity"],
+                   default="analytic",
+                   help="age-histogram mode: analytic expectation (default) "
+                        "or bit-exact replay of the reference's MC draws")
+    return p
+
+
+def _read_chr_list(path: str | None) -> list[str] | None:
+    if not path:
+        return None
+    with open(path) as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    mode = args.mode
+
+    if mode == "mut":
+        from colate_tpu.config import MutRunConfig
+        from colate_tpu.models.mut_em import run_mut_and_write
+
+        cfg = MutRunConfig(
+            mut=args.mut,
+            output=args.output,
+            chr_list=_read_chr_list(args.chr_file),
+            target_tmp=args.target_tmp,
+            reference_tmp=args.reference_tmp,
+            target_bcf=args.target_bcf,
+            reference_bcf=args.reference_bcf,
+            target_bam=args.target_bam,
+            reference_bam=args.reference_bam,
+            ref_genome=args.ref_genome,
+            target_mask=args.target_mask,
+            reference_mask=args.reference_mask,
+            coal=args.coal,
+            bins=args.bins,
+            target_age=args.target_age,
+            reference_age=args.reference_age,
+            years_per_gen=args.years_per_gen,
+            num_bootstrap=args.num_bootstraps,
+            seed=args.seed,
+            filters=args.filters,
+            sampling=args.sampling,
+        )
+        run_mut_and_write(cfg)
+        return 0
+
+    if mode == "make_tmp":
+        from colate_tpu.models.make_tmp import run_make_tmp
+
+        return run_make_tmp(args)
+
+    if mode == "print_tmp":
+        from colate_tpu.models.print_tmp import run_print_tmp
+
+        return run_print_tmp(args)
+
+    if mode == "preprocess_mut":
+        from colate_tpu.models.preprocess_mut import run_preprocess_mut
+
+        return run_preprocess_mut(args)
+
+    if mode == "compare_tmp":
+        from colate_tpu.models.compare_tmp import run_compare_tmp
+
+        return run_compare_tmp(args)
+
+    if mode == "count_topo":
+        from colate_tpu.models.count_topo import run_count_topo
+
+        return run_count_topo(args)
+
+    if mode in ("tree", "coal"):
+        from colate_tpu.models.tree_coal import run_tree_mode
+
+        return run_tree_mode(args)
+
+    if mode == "local_ancestry":
+        from colate_tpu.models.local_ancestry import run_local_ancestry
+
+        return run_local_ancestry(args)
+
+    if mode == "CondCoalRates":
+        from colate_tpu.models.cond_coal import run_cond_coal
+
+        return run_cond_coal(args)
+
+    if mode == "calc_depth":
+        from colate_tpu.models.bam_stats import run_calc_depth
+
+        return run_calc_depth(args)
+
+    if mode == "get_deam":
+        from colate_tpu.models.bam_stats import run_get_deam
+
+        return run_get_deam(args)
+
+    print(f"####### error #######\nInvalid or missing mode: {mode}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Reader/writer for the ``.colate.in`` binary site stream.
+
+Record layout (reference coal/coal.cpp:2503-2515, little-endian)::
+
+    int32  lchrom
+    char   chrom[lchrom]
+    int32  bp
+    char   ancestral
+    char   derived
+    int32  AAF     (ancestral allele count)
+    int32  DAF     (derived allele count)
+
+Records are grouped by chromosome in file order.  Rather than a
+record-at-a-time fread loop, this reader exploits that the record stride
+is constant within a run of equal ``lchrom`` (in practice one run per
+chromosome) and decodes each run with a single strided numpy view.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SiteStream:
+    """Columnar decoded .colate.in."""
+
+    chrom: np.ndarray  # object (str per record)
+    bp: np.ndarray  # int32
+    anc: np.ndarray  # uint8 (ASCII)
+    der: np.ndarray  # uint8
+    aaf: np.ndarray  # int32
+    daf: np.ndarray  # int32
+
+    def __len__(self) -> int:
+        return int(self.bp.shape[0])
+
+
+def read_colate_in(path: str) -> SiteStream:
+    raw = np.fromfile(path, dtype=np.uint8)
+    n = raw.size
+    chroms: list[np.ndarray] = []
+    bps: list[np.ndarray] = []
+    ancs: list[np.ndarray] = []
+    ders: list[np.ndarray] = []
+    aafs: list[np.ndarray] = []
+    dafs: list[np.ndarray] = []
+    pos = 0
+    while pos + 4 <= n:
+        lchrom = int(raw[pos : pos + 4].view(np.int32)[0])
+        if lchrom <= 0 or lchrom > 1023 or pos + lchrom + 18 > n:
+            raise ValueError(f"corrupt .colate.in at byte {pos}: lchrom={lchrom}")
+        rec = lchrom + 18
+        name = raw[pos + 4 : pos + 4 + lchrom].tobytes().decode("ascii")
+        # gallop: how many consecutive records share this lchrom (and fit)?
+        max_here = (n - pos) // rec
+        count = max_here
+        if max_here > 1:
+            # lchrom fields of candidate records, strided view
+            lens = np.lib.stride_tricks.as_strided(
+                raw[pos:],
+                shape=(max_here, 4),
+                strides=(rec, 1),
+            ).copy().view(np.int32)[:, 0]
+            bad = np.nonzero(lens != lchrom)[0]
+            if bad.size:
+                count = int(bad[0])
+        block = (
+            np.lib.stride_tricks.as_strided(
+                raw[pos:], shape=(count, rec), strides=(rec, 1)
+            ).copy()
+        )
+        # same-name check within the run (names could differ at equal length)
+        names_u8 = block[:, 4 : 4 + lchrom]
+        same = np.all(names_u8 == names_u8[0], axis=1)
+        if not same.all():
+            count = int(np.nonzero(~same)[0][0])
+            block = block[:count]
+        off = 4 + lchrom
+        bps.append(block[:, off : off + 4].copy().view(np.int32)[:, 0])
+        ancs.append(block[:, off + 4])
+        ders.append(block[:, off + 5])
+        aafs.append(block[:, off + 6 : off + 10].copy().view(np.int32)[:, 0])
+        dafs.append(block[:, off + 10 : off + 14].copy().view(np.int32)[:, 0])
+        chroms.append(np.full(count, name, dtype=object))
+        pos += count * rec
+    if pos != n:
+        # trailing partial record: the reference's fread loop would stop too
+        pass
+    if not bps:
+        z = np.zeros(0, np.int32)
+        return SiteStream(np.zeros(0, object), z, z.astype(np.uint8), z.astype(np.uint8), z, z)
+    return SiteStream(
+        chrom=np.concatenate(chroms),
+        bp=np.concatenate(bps),
+        anc=np.concatenate(ancs).astype(np.uint8),
+        der=np.concatenate(ders).astype(np.uint8),
+        aaf=np.concatenate(aafs),
+        daf=np.concatenate(dafs),
+    )
+
+
+def write_colate_in(
+    path: str,
+    chrom: np.ndarray,
+    bp: np.ndarray,
+    anc: np.ndarray,
+    der: np.ndarray,
+    aaf: np.ndarray,
+    daf: np.ndarray,
+) -> None:
+    """Write records byte-compatibly with the reference (coal.cpp:2503-2515)."""
+    out = bytearray()
+    for i in range(len(bp)):
+        name = chrom[i] if isinstance(chrom[i], str) else str(chrom[i])
+        nb = name.encode("ascii")
+        out += np.int32(len(nb)).tobytes()
+        out += nb
+        out += np.int32(bp[i]).tobytes()
+        a = anc[i]
+        d = der[i]
+        out += bytes([a if isinstance(a, (int, np.integer)) else ord(a)])
+        out += bytes([d if isinstance(d, (int, np.integer)) else ord(d)])
+        out += np.int32(aaf[i]).tobytes()
+        out += np.int32(daf[i]).tobytes()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

@@ -1,0 +1,154 @@
+"""Columnar reader/writer for Relate ``.mut`` mutation tables.
+
+Grammar (reference src/mutations.cpp:57-257 / Dump :286-336): one header
+line, then per SNP a semicolon-separated row::
+
+    snp;pos;dist;rs-id;tree;branch_indices(space-sep);is_not_mapping;
+    is_flipped;age_begin;age_end;anc/der;[upstream;downstream;freq;...]
+
+Unlike the reference's row-of-structs parse, this loads the whole file
+into numpy columns (the downstream consumers are vectorised).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MutTable:
+    """Columnar .mut file. String columns are object arrays (small files)."""
+
+    header: str
+    snp_id: np.ndarray  # int64
+    pos: np.ndarray  # int64
+    dist: np.ndarray  # int64
+    rs_id: np.ndarray  # object
+    tree: np.ndarray  # int64
+    branch: list  # list[list[int]] — usually length-1
+    num_branches: np.ndarray  # int64 (len of branch list)
+    flipped: np.ndarray  # int64
+    age_begin: np.ndarray  # float64 (f32-parsed, like the reference's stof)
+    age_end: np.ndarray  # float64
+    mutation_type: np.ndarray  # object, "A/C" style
+    rest: np.ndarray  # object — unparsed tail (upstream;downstream;freqs)
+
+    def __len__(self) -> int:
+        return int(self.pos.shape[0])
+
+    @property
+    def anc_allele(self) -> np.ndarray:
+        """First character of the ancestral allele ('' if empty)."""
+        return np.array(
+            [t.split("/", 1)[0] if "/" in t else t for t in self.mutation_type],
+            dtype=object,
+        )
+
+    @property
+    def der_allele(self) -> np.ndarray:
+        return np.array(
+            [t.split("/", 1)[1] if "/" in t else "" for t in self.mutation_type],
+            dtype=object,
+        )
+
+    @classmethod
+    def read(cls, path: str) -> "MutTable":
+        data = _read_text(path)
+        lines = data.splitlines()
+        if not lines:
+            raise ValueError(f"empty .mut file: {path}")
+        header = lines[0]
+        rows = [ln for ln in lines[1:] if ln]
+        n = len(rows)
+        snp_id = np.empty(n, np.int64)
+        pos = np.empty(n, np.int64)
+        dist = np.empty(n, np.int64)
+        rs_id = np.empty(n, object)
+        tree = np.empty(n, np.int64)
+        branch: list[list[int]] = []
+        nbr = np.empty(n, np.int64)
+        flipped = np.empty(n, np.int64)
+        age_begin = np.empty(n, np.float64)
+        age_end = np.empty(n, np.float64)
+        mtype = np.empty(n, object)
+        rest = np.empty(n, object)
+        for i, ln in enumerate(rows):
+            f = ln.split(";")
+            snp_id[i] = int(f[0])
+            pos[i] = int(f[1])
+            dist[i] = int(f[2])
+            rs_id[i] = f[3]
+            tree[i] = int(f[4])
+            br = [int(x) for x in f[5].split()] if f[5].strip() else []
+            branch.append(br)
+            nbr[i] = len(br)
+            # f[6] = is_not_mapping (skipped by the reference parser too)
+            flipped[i] = int(f[7])
+            # reference parses ages with std::stof (float32): replicate
+            age_begin[i] = np.float32(f[8])
+            age_end[i] = np.float32(f[9])
+            mtype[i] = f[10]
+            rest[i] = ";".join(f[11:]) if len(f) > 11 else ""
+        return cls(
+            header=header,
+            snp_id=snp_id,
+            pos=pos,
+            dist=dist,
+            rs_id=rs_id,
+            tree=tree,
+            branch=branch,
+            num_branches=nbr,
+            flipped=flipped,
+            age_begin=age_begin,
+            age_end=age_end,
+            mutation_type=mtype,
+            rest=rest,
+        )
+
+    def write(self, path: str) -> None:
+        """Dump in the reference layout (mutations.cpp:286-336)."""
+        out = io.StringIO()
+        header = self.header or (
+            "snp;pos_of_snp;dist;rs-id;tree_index;branch_indices;is_not_mapping;"
+            "is_flipped;age_begin;age_end;ancestral_allele/alternative_allele;"
+            "upstream_allele;downstream_allele;"
+        )
+        out.write(header + "\n")
+        for i in range(len(self)):
+            br = " ".join(str(b) for b in self.branch[i])
+            not_mapping = 1 if len(self.branch[i]) > 1 else 0
+            out.write(
+                f"{self.snp_id[i]};{self.pos[i]};{self.dist[i]};{self.rs_id[i]};"
+                f"{self.tree[i]};{br};{not_mapping};{self.flipped[i]};"
+                f"{_fmt(self.age_begin[i])};{_fmt(self.age_end[i])};"
+                f"{self.mutation_type[i]};"
+            )
+            if self.rest[i]:
+                out.write(self.rest[i])
+            out.write("\n")
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "wt") as fh:
+            fh.write(out.getvalue())
+
+
+def _fmt(x: float) -> str:
+    """C++ default ostream formatting (6 significant digits)."""
+    return f"{x:g}"
+
+
+def _read_text(path: str) -> str:
+    """Read path, falling back to path.gz like the reference (mutations.cpp:263-266)."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".gz"):
+        path = path + ".gz"
+    try:
+        with gzip.open(path, "rt") as fh:
+            return fh.read()
+    except (OSError, gzip.BadGzipFile):
+        with open(path, "rt") as fh:
+            return fh.read()

@@ -1,0 +1,195 @@
+"""Mode ``mut`` — the primary coalescence-rate estimator.
+
+End-to-end pipeline (reference call stack: coal/coal.cpp:3072-3863):
+
+1. host: columnar join of ``.mut`` tables against target/reference site
+   streams (pipeline/join.py);
+2. device: expected age-bin histograms per 30 Mb block (pipeline/binning.py);
+3. host/device: bootstrap block weights → weighted count matrices
+   (ops/bootstrap.py) + empirical-F redistribution;
+4. device: vectorised EM over all bootstrap replicates (ops/em.py);
+5. host: ``.coal`` writer (formats/coal.py).
+
+The ``.colate_mat`` cache is honoured exactly like the reference
+(written for non-tmp inputs, divided by norm=1e3; loaded when present).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+from colate_tpu.config import (
+    COLATE_MAT_NORM,
+    MutRunConfig,
+    NUM_AGE_BINS,
+    age_bin_centers,
+)
+from colate_tpu.formats.coal import write_mut_coal
+from colate_tpu.formats.colate_in import read_colate_in
+from colate_tpu.formats.colate_mat import read_colate_mat, write_colate_mat
+from colate_tpu.formats.fasta import read_mask
+from colate_tpu.formats.mut import MutTable
+from colate_tpu.hostrng import MT19937
+from colate_tpu.ops.bootstrap import bootstrap_weights, redistribute_emp, weighted_counts
+from colate_tpu.ops.epochs import epochs_from_bins, epochs_from_coal_file
+from colate_tpu.pipeline.binning import bin_sites_analytic, bin_sites_mc_parity
+from colate_tpu.pipeline.join import join_tmptmp
+
+
+@dataclasses.dataclass
+class MutResult:
+    epochs: np.ndarray
+    rates: np.ndarray  # [B, E]
+    logl: np.ndarray
+    iterations: np.ndarray
+    num_sites: int
+    num_blocks: int
+    is_ancient: bool
+    ep_null: int
+    timings: dict
+
+
+def resolve_tmp_inputs(cfg: MutRunConfig):
+    """Per-chromosome filename resolution (coal.cpp:3289-3312)."""
+    if cfg.chr_list:
+        chroms = list(cfg.chr_list)
+        mut_files = [f"{cfg.mut}_chr{c}.mut" for c in chroms]
+        tmask = (
+            [f"{cfg.target_mask}_chr{c}.fa" for c in chroms] if cfg.target_mask else None
+        )
+        rmask = (
+            [f"{cfg.reference_mask}_chr{c}.fa" for c in chroms]
+            if cfg.reference_mask
+            else None
+        )
+    else:
+        chroms = [""]
+        mut_files = [cfg.mut]
+        tmask = [f"{cfg.target_mask}"] if cfg.target_mask else None
+        rmask = [f"{cfg.reference_mask}"] if cfg.reference_mask else None
+    return chroms, mut_files, tmask, rmask
+
+
+def run_mut(cfg: MutRunConfig) -> MutResult:
+    import jax.numpy as jnp
+
+    from colate_tpu import enable_compilation_cache, enable_x64
+    from colate_tpu.ops.em import run_em
+
+    enable_x64()
+    enable_compilation_cache()
+    timings: dict = {}
+    nbins = NUM_AGE_BINS
+    age_bins = age_bin_centers()
+
+    target_age = float(np.float32(cfg.target_age))
+    ref_age_y = float(np.float32(cfg.reference_age))
+    ypg = float(np.float32(cfg.years_per_gen))
+    age = max(target_age, ref_age_y) / ypg
+    ref_age = ref_age_y / ypg
+    is_ancient = age > 0.0
+
+    B = cfg.num_bootstrap
+    seed = cfg.seed if cfg.seed is not None else (int(time.time()) + os.getpid())
+    parity = cfg.sampling == "mc_parity"
+    rng = MT19937(seed) if parity else None
+
+    mat_path = cfg.output + ".colate_mat"
+    num_blocks = 0
+    num_sites = 0
+    if os.path.exists(mat_path):
+        _, shared_counts, notshared_counts = read_colate_mat(mat_path, B)
+        timings["parse"] = 0.0
+    else:
+        t0 = time.time()
+        chroms, mut_files, tmask_files, rmask_files = resolve_tmp_inputs(cfg)
+        mut_tables = [MutTable.read(f) for f in mut_files]
+        target = read_colate_in(cfg.target_tmp)
+        reference = read_colate_in(cfg.reference_tmp)
+        tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+        rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+        sites = join_tmptmp(
+            chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
+        )
+        num_sites = len(sites)
+        num_blocks = sites.num_blocks
+        timings["parse"] = time.time() - t0
+
+        t0 = time.time()
+        # tmp-mode parse forces age=0 (coal.cpp:2073-2074)
+        if parity:
+            sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
+        else:
+            sh_b, ns_b, se_b, ne_b = bin_sites_analytic(sites, age=0.0)
+        timings["binning"] = time.time() - t0
+
+        t0 = time.time()
+        weights = bootstrap_weights(B, num_blocks, rng=rng, seed=seed)
+        shared_counts, notshared_counts, se, ne = weighted_counts(
+            weights, sh_b, ns_b, se_b, ne_b
+        )
+        shared_counts = redistribute_emp(shared_counts, se, ne, age=age)
+        tmp_inputs = cfg.target_tmp is not None and cfg.reference_tmp is not None
+        if not tmp_inputs:
+            shared_counts = shared_counts / COLATE_MAT_NORM
+            notshared_counts = notshared_counts / COLATE_MAT_NORM
+            write_colate_mat(mat_path, age_bins, shared_counts, notshared_counts)
+        timings["bootstrap"] = time.time() - t0
+
+    # ---- epochs + initial rates ----
+    if cfg.coal:
+        epochs, init_rates, ep_null = epochs_from_coal_file(cfg.coal, age)
+    else:
+        if not cfg.bins:
+            raise ValueError("either --bins or --coal is required")
+        epochs, ep_null = epochs_from_bins(cfg.bins, ypg, age)
+        from colate_tpu.config import INITIAL_COAL_RATE
+
+        init_rates = np.full(epochs.shape, INITIAL_COAL_RATE)
+
+    # ---- EM ----
+    t0 = time.time()
+    rates, logl, iters = run_em(
+        jnp.asarray(epochs),
+        jnp.asarray(init_rates),
+        jnp.asarray(shared_counts),
+        jnp.asarray(notshared_counts),
+    )
+    rates = np.asarray(rates)
+    logl = np.asarray(logl)
+    iters = np.asarray(iters)
+    timings["em"] = time.time() - t0
+
+    return MutResult(
+        epochs=epochs,
+        rates=rates,
+        logl=logl,
+        iterations=iters,
+        num_sites=num_sites,
+        num_blocks=num_blocks,
+        is_ancient=is_ancient,
+        ep_null=ep_null,
+        timings=timings,
+    )
+
+
+def run_mut_and_write(cfg: MutRunConfig) -> MutResult:
+    res = run_mut(cfg)
+    write_mut_coal(
+        cfg.output + ".coal",
+        res.epochs,
+        res.rates,
+        is_ancient=res.is_ancient,
+        ep_null=res.ep_null,
+    )
+    print(
+        f"mode mut: {res.num_sites} sites, {res.num_blocks} blocks, "
+        f"iters={res.iterations.tolist()}, timings={ {k: round(v, 3) for k, v in res.timings.items()} }",
+        file=sys.stderr,
+    )
+    return res

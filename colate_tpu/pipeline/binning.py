@@ -1,0 +1,210 @@
+"""Site-evidence → per-block age-bin histograms.
+
+The reference draws 100 uniform ages per mutation in [age_begin, age_end]
+and scatter-adds weights into 185 log-age bins (coal/coal.cpp:2260-2295).
+Two implementations:
+
+- :func:`bin_sites_analytic` (default): the *exact expectation* of that
+  Monte-Carlo histogram — each site spreads its weight over the bins its
+  age interval overlaps, conditional on landing inside the bin table
+  (the reference resamples out-of-table draws).  This removes parser
+  stochasticity entirely and runs as one dense vectorised pass on the
+  TPU (VPU elementwise + segment-sum over blocks); millions of sites per
+  second instead of 100 transcendental draws per site.
+
+- :func:`bin_sites_mc_parity`: bit-exact replay of the reference's draw
+  sequence (libstdc++ mt19937, see hostrng.py) for golden-file tests.
+
+Semantics shared by both (coal.cpp:2244-2298):
+- sites with age_begin <= age (==0 for tmp inputs) route their *shared*
+  mass into the empirical matrix row keyed by bin(age_end) and their
+  *notshared* mass both into that matrix and into the notshared
+  histogram (ages drawn over [0, age_end], draws below `age` clamped);
+- other sites add shared and notshared mass at the same sampled-age bin,
+  with out-of-table draws rejected and redrawn.
+
+Returns histograms in float64 [num_blocks, num_age_bins] plus the
+[num_blocks, num_age_bins] emp matrices (row bin1=0 of the reference's
+[bins x bins] matrix — the only row it ever populates: coal.cpp:2249-2256
+force age_begin2=0.0 so bin_index1 is always 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from colate_tpu.config import (
+    NUM_AGE_BINS,
+    NUM_MC_SAMPLES,
+    age_bin_edges,
+    bin_of_age,
+)
+from colate_tpu.hostrng import MT19937
+from colate_tpu.pipeline.join import JoinedSites
+
+
+def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
+    """Expected histograms over the MC sampling (device-friendly math).
+
+    NOTE: tmp-mode parsing forces age=0 (coal.cpp:2073-2074) — `age` is
+    accepted for the direct-BCF/BAM parsers which pass the real sample age.
+    """
+    import jax
+
+    nb = sites.num_blocks
+    out = _bin_analytic_jit(
+        jax.numpy.asarray(sites.age_begin),
+        jax.numpy.asarray(sites.age_end),
+        jax.numpy.asarray(sites.w_shared),
+        jax.numpy.asarray(sites.w_notshared),
+        jax.numpy.asarray(sites.block_id),
+        nb,
+        float(age),
+    )
+    return tuple(np.asarray(o) for o in out)
+
+
+def _overlap_probs(a, b, edges):
+    """P(U[a,b] in bin k) for each bin: [n, num_bins]; divides by (b-a)."""
+    import jax.numpy as jnp
+
+    lo = edges[:-1][None, :]
+    hi = edges[1:][None, :]
+    a_ = a[:, None]
+    b_ = b[:, None]
+    width = jnp.maximum(b_ - a_, 1e-300)
+    ov = jnp.clip(jnp.minimum(b_, hi) - jnp.maximum(a_, lo), 0.0, None)
+    return ov / width
+
+
+def _make_bin_analytic():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5,), static_argnames=())
+    def fn(age_begin, age_end, w_shared, w_notshared, block_id, num_blocks, age):
+        edges = jnp.asarray(age_bin_edges())
+        nbins = NUM_AGE_BINS
+        is_emp = age_begin <= age
+
+        # --- regular sites: conditional on bin <= nbins-1 (resampling) ---
+        # clamp draws below `age` to `age` is only in the emp branch; in the
+        # regular branch draws below `age` are rejected (skip=true) and
+        # redrawn, so the distribution is U[max(age_begin,age), age_end]
+        # conditional on landing in-table.  (For tmp inputs age==0: no-op.)
+        a_reg = jnp.maximum(age_begin, age)
+        p = _overlap_probs(a_reg, age_end, edges)  # [n, nbins]
+        norm = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.where(norm > 0, p / jnp.maximum(norm, 1e-300), 0.0)
+        w_s = jnp.where(is_emp, 0.0, w_shared)
+        w_n_reg = jnp.where(is_emp, 0.0, w_notshared)
+
+        # --- emp sites: T = max(U[age_begin, age_end], age), no resampling.
+        # Distribute via the clamped CDF: F_T(e) = cdf_U(e) if e > age else 0,
+        # so mass below `age` collapses into the bin containing `age`.
+        # (age==0 is the common case: plain uniform over [0, age_end].) ---
+        width = jnp.maximum(age_end - age_begin, 1e-300)
+        cdf_u = jnp.clip(
+            (edges[None, :] - age_begin[:, None]) / width[:, None], 0.0, 1.0
+        )
+        f_t = jnp.where(edges[None, :] > age, cdf_u, 0.0)
+        p_emp = f_t[:, 1:] - f_t[:, :-1]
+        # out-of-table mass (beyond the last edge) is clipped into the last
+        # bin — the reference would write out of bounds there (see
+        # config.bin_of_age); unreachable with realistic ages.
+        p_emp = p_emp.at[:, -1].add(1.0 - f_t[:, -1])
+        w_n_emp = jnp.where(is_emp, w_notshared, 0.0)
+
+        shared_hist = jax.ops.segment_sum(
+            p * (w_s[:, None]), block_id, num_segments=num_blocks
+        )
+        notshared_hist = jax.ops.segment_sum(
+            p * (w_n_reg[:, None]) + p_emp * (w_n_emp[:, None]),
+            block_id,
+            num_segments=num_blocks,
+        )
+
+        # --- emp matrices: keyed by bin(age_end), full site weight ---
+        bin2 = jnp.clip(
+            jnp.where(
+                age_end > 0,
+                jnp.floor(jnp.log(10.0 * jnp.maximum(age_end, 1e-300)) * 10.0 + 0.5)
+                .astype(jnp.int32)
+                + 1,
+                0,
+            ),
+            0,
+            nbins - 1,
+        )
+        emp_key = block_id * nbins + bin2
+        w_se = jnp.where(is_emp, w_shared, 0.0)
+        w_ne = jnp.where(is_emp, w_notshared, 0.0)
+        shared_emp = jax.ops.segment_sum(
+            w_se, emp_key, num_segments=num_blocks * nbins
+        ).reshape(num_blocks, nbins)
+        notshared_emp = jax.ops.segment_sum(
+            w_ne, emp_key, num_segments=num_blocks * nbins
+        ).reshape(num_blocks, nbins)
+        return shared_hist, notshared_hist, shared_emp, notshared_emp
+
+    return fn
+
+
+_bin_analytic_cache = None
+
+
+def _bin_analytic_jit(*args):
+    global _bin_analytic_cache
+    if _bin_analytic_cache is None:
+        _bin_analytic_cache = _make_bin_analytic()
+    return _bin_analytic_cache(*args)
+
+
+def bin_sites_mc_parity(sites: JoinedSites, rng: MT19937, age: float = 0.0):
+    """Bit-exact replay of the reference's sampling loop (coal.cpp:2244-2298).
+
+    Draw order: sites in genome order; per site 100 uniforms (with
+    rejection-redraw for out-of-table bins in the non-emp branch).
+    Returns the same four [num_blocks, num_age_bins] float64 arrays.
+    """
+    nb = sites.num_blocks
+    nbins = NUM_AGE_BINS
+    shared = np.zeros((nb, nbins), np.float64)
+    notshared = np.zeros((nb, nbins), np.float64)
+    shared_emp = np.zeros((nb, nbins), np.float64)
+    notshared_emp = np.zeros((nb, nbins), np.float64)
+
+    n = len(sites)
+    for i in range(n):
+        ab = sites.age_begin[i]
+        ae = sites.age_end[i]
+        ws = sites.w_shared[i]
+        wn = sites.w_notshared[i]
+        blk = sites.block_id[i]
+        if ab <= age:
+            bin2 = int(bin_of_age(ae))
+            shared_emp[blk, bin2] += ws
+            notshared_emp[blk, bin2] += wn
+            # 100 unconditional draws over [ab, ae] (ab<=age), clamped up to age
+            u = rng.uniform01(NUM_MC_SAMPLES)
+            t = u * (ae - ab) + ab
+            t = np.maximum(t, age)
+            b = bin_of_age(t)
+            np.add.at(notshared[blk], b, wn / NUM_MC_SAMPLES)
+        else:
+            accepted = 0
+            while accepted < NUM_MC_SAMPLES:
+                u = rng.uniform01(NUM_MC_SAMPLES - accepted)
+                t = u * (ae - ab) + ab
+                with np.errstate(divide="ignore"):
+                    raw_bin = (
+                        np.floor(np.log(10.0 * np.maximum(t, 1e-300)) * 10.0 + 0.5)
+                    ).astype(np.int64) + 1
+                raw_bin = np.where(t > 0, np.maximum(raw_bin, 0), 0)
+                keep = (t >= age) & (raw_bin < nbins)
+                b = raw_bin[keep]
+                np.add.at(shared[blk], b, ws / NUM_MC_SAMPLES)
+                np.add.at(notshared[blk], b, wn / NUM_MC_SAMPLES)
+                accepted += int(keep.sum())
+    return shared, notshared, shared_emp, notshared_emp

@@ -1,0 +1,276 @@
+"""Join ``.mut`` mutation tables against target/reference site streams.
+
+Replicates, vectorised, the exact sequential-cursor semantics of the
+reference's ``parse_tmptmp`` (coal/coal.cpp:2071-2321):
+
+- a mutation row is considered only if flipped==0, exactly one mapped
+  branch, age_begin < age_end, age_end >= age(=0 in tmp mode), both
+  alleles valid (A/C/G/T or 0/1) and any masks read 'P' at the site;
+- the reference stream cursor advances (reading records while bp < pos)
+  only for rows surviving those filters, and a row matches only if the
+  advance *consumed at least one record* and landed on (chrom,pos,anc,der)
+  with DAF_ref > 0 — so e.g. a second mutation row at the same position
+  can never match (the record was already consumed);
+- the target cursor advances only for rows that matched the reference
+  stream; the row is kept if the target record matches and N_target > 0.
+
+Cursor emulation: with record positions sorted within a chromosome and
+mutation positions nondecreasing, the consumed-record index after row k is
+``max(initial, searchsorted(rec_bp, pos_k))`` and "at least one record was
+read" is ``searchsorted(rec_bp, pos_k) > consumed_{k-1}``.
+
+The output is a columnar :class:`JoinedSites` ready for device binning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from colate_tpu.config import NUM_BASES_PER_BLOCK
+from colate_tpu.formats.colate_in import SiteStream
+from colate_tpu.formats.mut import MutTable
+
+_VALID_ANC = frozenset(b"ACGT0")
+_VALID_DER = frozenset(b"ACGT1")
+
+
+@dataclasses.dataclass
+class JoinedSites:
+    """Accepted sites with their histogram weights, concatenated over chroms."""
+
+    age_begin: np.ndarray  # float64 (already max'ed with ref_age)
+    age_end: np.ndarray  # float64
+    w_shared: np.ndarray  # float64: f_DAF_target * DAF_ref / N_ref
+    w_notshared: np.ndarray  # float64: f_AAF_target * DAF_ref / N_ref
+    block_id: np.ndarray  # int32 global block index
+    num_blocks: int
+
+    def __len__(self) -> int:
+        return int(self.age_begin.shape[0])
+
+
+@dataclasses.dataclass
+class _Cursor:
+    """Global consumed-record cursor over a SiteStream."""
+
+    stream: SiteStream
+    consumed: int = -1  # index of last consumed record; -1 = nothing read
+    cur_chrom: str = "\x00uninit"  # matches the reference's garbage initial
+
+    def segment(self, chrom: str) -> tuple[int, int]:
+        """Range [lo, hi) of records for `chrom` at/after the cursor."""
+        ch = self.stream.chrom
+        n = len(ch)
+        i = max(self.consumed, 0)
+        # chromosome scan (coal.cpp:2125-2133): consume records until the
+        # current record's chrom matches; consumes at least one record if the
+        # cursor's current record doesn't match.
+        if self.cur_chrom != chrom:
+            j = self.consumed + 1
+            while j < n and ch[j] != chrom:
+                j += 1
+            if j >= n:
+                self.consumed = n
+                self.cur_chrom = chrom  # EOF; no records will match
+                return (n, n)
+            self.consumed = j
+            self.cur_chrom = chrom
+        lo = max(self.consumed, 0)
+        hi = lo
+        while hi < n and ch[hi] == chrom:
+            hi += 1
+        return (lo, hi)
+
+
+def _advance_match(
+    cursor: _Cursor,
+    chrom: str,
+    pos: np.ndarray,
+    anc: np.ndarray,
+    der: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorised cursor walk for rows with positions `pos` (nondecreasing).
+
+    Returns (matched_bool, aaf, daf) per row; advances the cursor to its
+    final state.  anc/der are uint8 ASCII codes per row.
+    """
+    lo, hi = cursor.segment(chrom)
+    st = cursor.stream
+    nrow = pos.shape[0]
+    matched = np.zeros(nrow, dtype=bool)
+    aaf = np.zeros(nrow, dtype=np.int64)
+    daf = np.zeros(nrow, dtype=np.int64)
+    if nrow == 0:
+        return matched, aaf, daf
+    if lo >= hi:
+        return matched, aaf, daf
+    seg_bp = st.bp[lo:hi]
+    # first record index (within segment) with bp >= pos
+    s = np.searchsorted(seg_bp, pos, side="left")
+    # consumed index within segment before each row: running max of s over
+    # previous rows, seeded with 0 (the segment's first record was consumed
+    # by the chromosome scan / previous chromosome overshoot).
+    s_prev = np.maximum.accumulate(np.concatenate([[0], s[:-1]]))
+    advanced = s > s_prev
+    in_seg = s < (hi - lo)
+    idx = np.where(in_seg, s, 0)
+    ok = (
+        advanced
+        & in_seg
+        & (seg_bp[idx] == pos)
+        & (st.anc[lo:hi][idx] == anc)
+        & (st.der[lo:hi][idx] == der)
+    )
+    aaf = np.where(ok, st.aaf[lo:hi][idx], 0).astype(np.int64)
+    daf = np.where(ok, st.daf[lo:hi][idx], 0).astype(np.int64)
+    # final cursor state: last consumed = lo + max(s, 0 over all rows), but
+    # never past the segment end (reading stops at the first record of the
+    # next chromosome — which is then the consumed record).
+    final_s = int(max(np.max(s), 0))
+    if final_s >= (hi - lo):
+        # overshot into the next chromosome's first record (or EOF)
+        cursor.consumed = hi
+        n = len(st.chrom)
+        cursor.cur_chrom = st.chrom[hi] if hi < n else cursor.cur_chrom
+    else:
+        cursor.consumed = lo + final_s
+    return ok, aaf, daf
+
+
+def join_tmptmp(
+    chrom_names: list[str],
+    mut_tables: list[MutTable],
+    target: SiteStream,
+    reference: SiteStream,
+    target_masks: list[np.ndarray] | None = None,
+    reference_masks: list[np.ndarray] | None = None,
+    age: float = 0.0,
+    ref_age: float = 0.0,
+) -> JoinedSites:
+    """The parse_tmptmp join.  NOTE: the reference forces age=ref_age=0 for
+    tmp inputs (coal.cpp:2073-2074); callers pass 0 to match."""
+    age = 0.0
+    ref_age = 0.0
+
+    tgt_cur = _Cursor(target)
+    ref_cur = _Cursor(reference)
+
+    out_ab: list[np.ndarray] = []
+    out_ae: list[np.ndarray] = []
+    out_ws: list[np.ndarray] = []
+    out_wn: list[np.ndarray] = []
+    out_blk: list[np.ndarray] = []
+    block_offset = 0
+
+    for ci, chrom in enumerate(chrom_names):
+        mt = mut_tables[ci]
+        # --- pre-stream filters (coal.cpp:2150-2176) ---
+        anc_c, der_c, valid_alleles = _allele_codes(mt.mutation_type)
+        keep = (
+            (mt.flipped == 0)
+            & (mt.num_branches == 1)
+            & (mt.age_begin < mt.age_end)
+            & (mt.age_end >= age)
+            & valid_alleles
+        )
+        if target_masks is not None and target_masks[ci] is not None:
+            keep &= _mask_pass(target_masks[ci], mt.pos)
+        if reference_masks is not None and reference_masks[ci] is not None:
+            keep &= _mask_pass(reference_masks[ci], mt.pos)
+        rows = np.nonzero(keep)[0]
+        pos = mt.pos[rows].astype(np.int64)
+        anc = anc_c[rows]
+        der = der_c[rows]
+
+        # --- reference stream: cursor walk + match + DAF_ref > 0 ---
+        ref_ok, ref_aaf, ref_daf = _advance_match(ref_cur, chrom, pos, anc, der)
+        ref_ok &= ref_daf > 0
+        rsel = np.nonzero(ref_ok)[0]
+
+        # --- target stream: only ref-matched rows advance the cursor ---
+        tgt_ok, tgt_aaf, tgt_daf = _advance_match(
+            tgt_cur, chrom, pos[rsel], anc[rsel], der[rsel]
+        )
+        n_t = tgt_aaf + tgt_daf
+        tgt_ok &= n_t > 0
+        tsel = rsel[tgt_ok]
+
+        if tsel.size:
+            n_ref = (ref_aaf + ref_daf)[tsel].astype(np.float64)
+            daf_ref = ref_daf[tsel].astype(np.float64)
+            n_tt = n_t[tgt_ok].astype(np.float64)
+            daf_t = tgt_daf[tgt_ok].astype(np.float64)
+            aaf_t = tgt_aaf[tgt_ok].astype(np.float64)
+            # pseudo-diploid rounding (coal.cpp:2236-2242): the quotient is
+            # computed in double, stored to float, then std::round'ed (half
+            # AWAY from zero — not numpy's half-to-even): floor(x+0.5) for x>=0
+            f_daf = np.floor(
+                (daf_t / (n_tt / 2.0)).astype(np.float32).astype(np.float64) + 0.5
+            )
+            f_aaf = np.floor(
+                (aaf_t / (n_tt / 2.0)).astype(np.float32).astype(np.float64) + 0.5
+            )
+            mrows = rows[tsel]
+            ab = np.maximum(mt.age_begin[mrows], ref_age)
+            ae = mt.age_end[mrows]
+            bp_used = mt.pos[mrows].astype(np.int64)
+            # block id (coal.cpp:2225-2232): advance while base + B < bp
+            blk = np.maximum((bp_used - 1) // NUM_BASES_PER_BLOCK, 0).astype(np.int64)
+            out_ab.append(ab)
+            out_ae.append(ae)
+            out_ws.append(f_daf * daf_ref / n_ref)
+            out_wn.append(f_aaf * daf_ref / n_ref)
+            out_blk.append(blk + block_offset)
+            last_blk = int(blk[-1])
+        else:
+            last_blk = 0
+        # end-of-chromosome block advance (coal.cpp:2307-2312)
+        block_offset += last_blk + 1
+
+    if out_ab:
+        return JoinedSites(
+            age_begin=np.concatenate(out_ab),
+            age_end=np.concatenate(out_ae),
+            w_shared=np.concatenate(out_ws),
+            w_notshared=np.concatenate(out_wn),
+            block_id=np.concatenate(out_blk).astype(np.int32),
+            num_blocks=block_offset,
+        )
+    return JoinedSites(
+        age_begin=np.zeros(0),
+        age_end=np.zeros(0),
+        w_shared=np.zeros(0),
+        w_notshared=np.zeros(0),
+        block_id=np.zeros(0, np.int32),
+        num_blocks=block_offset,
+    )
+
+
+def _allele_codes(mutation_type: np.ndarray):
+    """Split 'A/C'-style strings into uint8 codes + validity mask."""
+    n = mutation_type.shape[0]
+    anc = np.zeros(n, np.uint8)
+    der = np.zeros(n, np.uint8)
+    valid = np.zeros(n, bool)
+    for i, t in enumerate(mutation_type):
+        j = t.find("/")
+        a = t[:j] if j >= 0 else t
+        d = t[j + 1 :] if j >= 0 else ""
+        # the reference validates the full string against single characters
+        # (coal.cpp:2170-2171): multi-char alleles are invalid
+        if a in ("A", "C", "G", "T", "0") and d in ("A", "C", "G", "T", "1"):
+            anc[i] = ord(a)
+            der[i] = ord(d)
+            valid[i] = True
+    return anc, der, valid
+
+
+def _mask_pass(mask: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """'P' at pos-1 required, but only when pos < len(mask) (coal.cpp:2163-2168)."""
+    n = mask.shape[0]
+    idx = np.clip(pos - 1, 0, max(n - 1, 0))
+    in_range = pos < n
+    is_p = mask[idx] == ord("P") if n else np.zeros(pos.shape, bool)
+    return ~in_range | is_p
