@@ -1,0 +1,356 @@
+"""CoalRate mode ``local_ancestry``: group-pair coalescence rates.
+
+Reference: ``coal_localancestry`` driver (coal/coal.cpp:206-590) +
+``coal_LA`` (coal_tree.cpp:302-654).  Per marginal tree and ancestry
+segment, every unordered leaf pair (m1, m2) that coalesces at internal
+node u contributes, into the (sorted) group pair of its members:
+
+    num[g1,g2, epoch(age_u)]  += span/1e9
+    denom[g1,g2, e]           += span/1e9 · |[pair_age, age_u] ∩ epoch_e|
+
+where pair_age = max sample age of the two leaves (0 for modern data).
+
+Instead of the reference's per-pair nested loops (O(N²) per coalescence),
+pairs are counted by group: with subtree group-count vectors n1, n2 of
+the coalescing children, the unordered pair count into sorted key (p>=q)
+is n1[p]n2[q]+n1[q]n2[p] (p>q) / n1[p]n2[p] (p==q) — an outer product
+per internal node, batched over all trees of a chromosome.  (The modern
+fast path; per-pair ages only arise with ancient samples, handled by a
+slower grouped path.)
+
+Driver quirks replicated: span splitting across ancestry-segment
+boundaries (coal.cpp:513-564) including the final-fragment `frac` that
+is NOT scaled by the tree span (a reference bug, coal.cpp:561); tree
+bp ranges from mut-row midpoints with int truncation; bootstrap seeded
+with the fixed value 1 and proper [0, num_blocks-1] draws
+(coal_tree.cpp:532).  For the last tree of a chromosome the reference
+reads past the mut array (bp_end is heap garbage, coal.cpp:503-507); in
+practice that memory holds 0 so the tree never splits — we give the
+whole span to the current segment.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from colate_tpu.formats.anc import AncFile, node_ages
+from colate_tpu.formats.mut import MutTable
+from colate_tpu.formats.sample import Sample
+from colate_tpu.hostrng import MT19937
+from colate_tpu.models.tree_coal import BLOCK_SIZE_TREES, epochs_from_bins_tree
+
+
+def _tree_bp_ranges(anc: AncFile, mut: MutTable):
+    """Per tree: (bp_start, bp_end, first_row, last_row) midpoint ranges.
+
+    bp_start = pos of first row, averaged (int-truncated) with previous
+    row's pos when one exists; bp_end likewise with the row after the
+    tree.  The last tree with rows gets bp_end=0 (reference UB, see
+    module docstring).  Treeless trees get the NEXT tree's bp_start and
+    span 0."""
+    T = anc.num_trees
+    n = len(mut)
+    bp_start = np.zeros(T, np.int64)
+    bp_end = np.zeros(T, np.int64)
+    tree_of_row = mut.tree
+    pos = mut.pos
+    row = 0
+    for t in range(T):
+        if row >= n:
+            bp_start[t] = 0
+            bp_end[t] = 0
+            continue
+        i0 = row
+        bs = pos[i0]
+        if i0 > 0:
+            bs = int((bs + pos[i0 - 1]) / 2.0)
+        if tree_of_row[i0] != t:
+            # treeless tree: driver still computes from the next tree's rows
+            bp_start[t] = bs
+            bp_end[t] = bs + 1  # span==0 anyway; bp_end==bp_start -> ++
+            continue
+        while row < n and tree_of_row[row] == t:
+            row += 1
+        if row < n:
+            be = int((pos[row] + pos[row - 1]) / 2.0)
+        else:
+            be = 0  # reference reads past the array; heap holds 0 in practice
+        if be == bs:
+            be += 1
+        bp_start[t] = bs
+        bp_end[t] = be
+    return bp_start, bp_end
+
+
+def _group_counts(anc: AncFile, group: np.ndarray, num_groups: int):
+    """[T, M, G] leaf-group counts per subtree (ascending-index pass)."""
+    T, M = anc.parent.shape
+    N = anc.n_hap
+    C = np.zeros((T, M, num_groups), np.float64)
+    C[:, np.arange(N), group[np.arange(N)]] = 1.0
+    rows = np.arange(T)
+    for j in range(M - 1):
+        p = anc.parent[:, j]
+        valid = p >= 0
+        np.add.at(C, (rows[valid], p[valid]), C[valid, j])
+    return C
+
+
+def _children(anc: AncFile):
+    """[T, M, 2] child indices (-1 for leaves), matching ReadTree's
+    left-then-right fill order (anc.cpp:25-32)."""
+    T, M = anc.parent.shape
+    ch = np.full((T, M, 2), -1, np.int32)
+    filled = np.zeros((T, M), np.int8)
+    rows = np.arange(T)
+    for j in range(M):
+        p = anc.parent[:, j]
+        valid = p >= 0
+        pv = p[valid]
+        rv = rows[valid]
+        slot = filled[rv, pv]
+        ch[rv, pv, slot] = j
+        filled[rv, pv] = slot + 1
+    return ch
+
+
+class CoalLA:
+    def __init__(self, epochs: np.ndarray, num_groups: int, max_blocks: int = 4096):
+        self.epochs = epochs
+        self.G = num_groups
+        self.E = epochs.shape[0]
+        self.num = np.zeros((max_blocks, num_groups, num_groups, self.E))
+        self.denom = np.zeros((max_blocks, num_groups, num_groups, self.E))
+        self.num_blocks = 0
+
+    def add_chromosome(
+        self,
+        anc: AncFile,
+        mut: MutTable,
+        segments: list[tuple[int, np.ndarray]],
+        is_global_tail: bool = False,
+    ) -> None:
+        """segments: [(start_bp, group_per_hap)] for this chromosome, sorted.
+
+        is_global_tail: True when these are the last rows of the whole
+        poplabels file — only then does crossing into the final segment
+        abort the tree loop (the reference's break tests the GLOBAL row
+        count, coal.cpp:530-533)."""
+        T = anc.num_trees
+        N = anc.n_hap
+        spans = np.float32(
+            __import__("colate_tpu.models.tree_coal", fromlist=["tree_spans"]).tree_spans(
+                anc, mut
+            )
+        ).astype(np.float64)
+        bp_start, bp_end = _tree_bp_ranges(anc, mut)
+        seg_bp = np.array([s[0] for s in segments], np.int64)
+        block0 = self.num_blocks
+
+        if anc.sample_ages is not None and np.any(np.asarray(anc.sample_ages) > 0):
+            raise NotImplementedError(
+                "local_ancestry with ancient sample ages: per-pair age "
+                "truncation not yet implemented"
+            )
+
+        # assign each tree its (possibly several) (segment, span fraction)
+        per_seg: dict[int, list[tuple[int, float]]] = {}
+        li = 0
+        nseg = len(segments)
+        for t in range(T):
+            blk = block0 + t // BLOCK_SIZE_TREES
+            bs, be = int(bp_start[t]), int(bp_end[t])
+            sp = float(spans[t])
+            while li < nseg - 1 and bs >= seg_bp[li + 1]:
+                li += 1
+            if li >= nseg - 1 or be <= seg_bp[li + 1]:
+                per_seg.setdefault(li, []).append((t, sp, blk))
+                continue
+            # split across segments (coal.cpp:513-564)
+            width = float(be - bs)
+            frac = sp * (seg_bp[li + 1] - bs) / width
+            per_seg.setdefault(li, []).append((t, frac, blk))
+            li += 1
+            if li + 1 == nseg and is_global_tail:
+                # the reference `break`s the TREE loop when the GLOBAL
+                # poplabels row count is reached (coal.cpp:530-533): all
+                # remaining trees of the last chromosome are dropped
+                break
+            while li < nseg - 1 and be > seg_bp[li + 1]:
+                frac = sp * (seg_bp[li + 1] - seg_bp[li]) / width
+                per_seg.setdefault(li, []).append((t, frac, blk))
+                li += 1
+                if li == nseg:
+                    li -= 1
+                    break
+            # final fragment: the reference forgets the span factor here
+            # (coal.cpp:561) — replicated faithfully
+            frac = (be - seg_bp[li]) / width
+            per_seg.setdefault(li, []).append((t, frac, blk))
+
+        coords = node_ages(anc).astype(np.float64)  # [T, M]
+        ch = _children(anc)
+        epochs = self.epochs
+        E = self.E
+        internal = np.arange(N, 2 * N - 1)
+
+        for li2, items in per_seg.items():
+            group = segments[li2][1]
+            C = _group_counts(anc, group, self.G)  # [T, M, G]
+            trees = np.array([t for t, _, _ in items], np.int64)
+            ws = np.array([w for _, w, _ in items], np.float64) / 1e9
+            blks = np.array([b for _, _, b in items], np.int64)
+            # child group-count vectors of internal nodes for these trees
+            c1 = ch[trees][:, internal, 0]
+            c2 = ch[trees][:, internal, 1]
+            tsel = np.arange(trees.size)[:, None]
+            n1 = C[trees[:, None], c1]  # [S, N-1, G]
+            n2 = C[trees[:, None], c2]
+            X = np.einsum("sig,sih->sigh", n1, n2)  # ordered outer product
+            cnt = X + np.swapaxes(X, 2, 3)
+            diag = np.arange(self.G)
+            cnt[:, :, diag, diag] = X[:, :, diag, diag]
+            cnt = np.tril(cnt)  # keep sorted keys (g1 >= g2)
+
+            a_u = coords[trees][:, internal]  # [S, N-1]
+            ep_idx = np.clip(
+                np.searchsorted(epochs[1:], a_u.ravel(), side="left"), 0, E - 1
+            ).reshape(a_u.shape)
+            ov = np.clip(
+                np.minimum(a_u[:, :, None], epochs[None, None, 1:])
+                - epochs[None, None, :-1],
+                0.0,
+                None,
+            )
+            ov = np.concatenate([ov, np.zeros(ov.shape[:2] + (1,))], axis=2)
+
+            # num: scatter per (tree, node) into [blk, g1, g2, ep]
+            S, K = a_u.shape
+            num_te = np.zeros((S, self.G, self.G, E))
+            s_idx = np.broadcast_to(np.arange(S)[:, None], (S, K))
+            np.add.at(
+                num_te.transpose(0, 3, 1, 2),
+                (s_idx.ravel(), ep_idx.ravel()),
+                cnt.reshape(S * K, self.G, self.G),
+            )
+            den_te = np.einsum("sigh,sie->sghe", cnt, ov)
+            w_num = num_te * ws[:, None, None, None]
+            w_den = den_te * ws[:, None, None, None]
+            np.add.at(self.num, blks, w_num)
+            np.add.at(self.denom, blks, w_den)
+
+        self.num_blocks = block0 + T // BLOCK_SIZE_TREES + 1
+
+    def dump(self, path: str, unique_groups: list[str], num_bootstrap: int) -> None:
+        rng = MT19937(1)  # seed hardcoded in the reference (coal_tree.cpp:532)
+        nb = self.num_blocks
+        w = np.zeros((num_bootstrap, nb))
+        for i in range(num_bootstrap):
+            np.add.at(w[i], rng.uniform_int(0, nb - 1, nb), 1.0)
+        num_b = np.einsum("bk,kghe->bghe", w, self.num[:nb])
+        den_b = np.einsum("bk,kghe->bghe", w, self.denom[:nb])
+
+        def fmt(x: float) -> str:
+            if np.isnan(x):
+                return "-nan" if np.signbit(x) else "nan"
+            return f"{x:g}"
+
+        with open(path, "w") as fh:
+            fh.write(" ".join(unique_groups) + " \n")
+            fh.write(" ".join(f"{e:g}" for e in self.epochs) + " \n")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for b in range(num_bootstrap):
+                    for i in range(self.G):
+                        for j in range(self.G):
+                            hi, lo = (i, j) if i > j else (j, i)
+                            rates = num_b[b, hi, lo] / den_b[b, hi, lo]
+                            fh.write(
+                                f"{i} {j} " + " ".join(fmt(r) for r in rates) + " \n"
+                            )
+
+
+def _read_la_poplabels(path: str):
+    """Either 4-column poplabels or the segment format (coal.cpp:364-461).
+
+    Returns (unique_groups, rows) where rows = [(chrom, bp, group_array)].
+    4-column files return rows=None (driver synthesises the sentinel pair
+    per chromosome)."""
+    with open(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    c1 = len(lines[0].split())
+    c2 = len(lines[1].split()) if len(lines) > 1 else 0
+    if c1 == 4 and c2 == 4:
+        return None, None
+    unique_groups = lines[0].split()
+    rows = []
+    prev_groups: np.ndarray | None = None
+    for ln in lines[1:]:
+        parts = ln.split()
+        chrom = parts[0]
+        bp = int(parts[1])
+        vals = np.array([int(x) for x in parts[2:]], np.int32)
+        if prev_groups is not None and vals.size < prev_groups.size:
+            # the reference reuses the previous row's tail when a row is
+            # short (it overwrites group_tmp in place, coal.cpp:454-456)
+            merged = prev_groups.copy()
+            merged[: vals.size] = vals
+            vals = merged
+        rows.append((chrom, bp, vals))
+        prev_groups = vals
+    return unique_groups, rows
+
+
+def run_local_ancestry(args) -> int:
+    if not (args.input and args.output and args.poplabels and args.bins):
+        print("Needed: input, output, poplabels, bins.", file=sys.stderr)
+        return 2
+    ypg = float(np.float32(args.years_per_gen)) if args.years_per_gen else 28.0
+    if args.coal:
+        with open(args.coal) as fh:
+            lines = fh.read().splitlines()
+        epochs = np.array([float(np.float32(x)) for x in lines[1].split()])
+    else:
+        epochs = epochs_from_bins_tree(args.bins, ypg)
+
+    chroms = ["NA"]
+    files = [args.input]
+    if args.chr_file:
+        with open(args.chr_file) as fh:
+            chroms = [ln.strip() for ln in fh if ln.strip()]
+        files = [f"{args.input}_chr{c}" for c in chroms]
+
+    unique_groups, seg_rows = _read_la_poplabels(args.poplabels)
+    B = args.num_bootstraps or 1
+
+    if unique_groups is None:
+        sample = Sample.read(args.poplabels)
+        unique_groups = sample.groups
+        est = CoalLA(epochs, len(unique_groups))
+        for ci, (c, f) in enumerate(zip(chroms, files)):
+            anc = AncFile.read(f + ".anc")
+            mut = MutTable.read(f + ".mut")
+            segs = [
+                (0, sample.group_of_haplotype),
+                (int(mut.pos[-1] + 1e6), sample.group_of_haplotype),
+            ]
+            est.add_chromosome(anc, mut, segs, is_global_tail=(ci == len(chroms) - 1))
+    else:
+        est = CoalLA(epochs, len(unique_groups))
+        tail_chrom = seg_rows[-1][0]
+        for c, f in zip(chroms, files):
+            anc = AncFile.read(f + ".anc")
+            mut = MutTable.read(f + ".mut")
+            segs = [
+                (bp, grp) for (ch, bp, grp) in seg_rows if ch == c or c == "NA"
+            ]
+            if not segs:
+                raise ValueError(f"chromosome {c} not found in poplabels")
+            est.add_chromosome(
+                anc, mut, segs, is_global_tail=(c == tail_chrom or c == "NA")
+            )
+    est.dump(args.output + ".coal", unique_groups, B)
+    print(f"local_ancestry: {est.num_blocks} blocks -> {args.output}.coal",
+          file=sys.stderr)
+    return 0

@@ -1,0 +1,218 @@
+"""CoalRate mode ``tree``: genome-wide coalescence rates from Relate trees.
+
+Reference: ``coal()`` driver (coal/coal.cpp:21-204) + ``coal_tree``
+(coal_tree.cpp:1-300).  Per marginal tree, the estimator needs the sorted
+node ages, the lineage count per inter-event interval, and their overlap
+with the epoch grid — the reference sweeps each tree sequentially; here
+every tree is a row of dense [num_trees, 2N-1] arrays and the whole
+chromosome reduces with one batched epoch-overlap contraction:
+
+    num[block, e]   = Σ_trees span·#{coalescences in epoch e}/1e9
+    denom[block, e] = Σ_trees span·Σ_j C(k_j,2)·|interval_j ∩ epoch e|/1e9
+
+Span semantics (AncMutIterators::NextTree, mutations.cpp:616-692): a
+tree with mut rows [i0..i1] persists for Σ dist[i0..i1] plus half the
+preceding dist minus half of dist[i1] (when neighbours exist); trees
+without mutations contribute 0.  The driver narrows the span to float32
+(coal.cpp:146) — replicated.
+
+Bootstrap quirks replicated from coal_tree.cpp:180-211: rng is ALWAYS
+mt19937 seeded with 1 (the --seed flag is ignored), and the uniform_int
+upper bound is num_blocks INCLUSIVE — draws equal to num_blocks fall
+outside the count array and are silently dropped.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from colate_tpu.formats.anc import AncFile, node_ages
+from colate_tpu.formats.mut import MutTable
+from colate_tpu.hostrng import MT19937
+
+BLOCK_SIZE_TREES = 5000  # coal.cpp:140
+
+
+def tree_spans(anc: AncFile, mut: MutTable) -> np.ndarray:
+    """[num_trees] float64 genome span per tree (NextTree semantics)."""
+    T = anc.num_trees
+    spans = np.zeros(T, np.float64)
+    tree_of_row = mut.tree
+    n = len(mut)
+    if n == 0:
+        return spans
+    # rows are grouped by tree index (nondecreasing)
+    first = np.full(T, -1, np.int64)
+    last = np.full(T, -1, np.int64)
+    uniq, idx_first = np.unique(tree_of_row, return_index=True)
+    for u, i0 in zip(uniq, idx_first):
+        if 0 <= u < T:
+            first[u] = i0
+    # last occurrence
+    uniq_r, idx_last_rev = np.unique(tree_of_row[::-1], return_index=True)
+    for u, ir in zip(uniq_r, idx_last_rev):
+        if 0 <= u < T:
+            last[u] = n - 1 - ir
+    dist = mut.dist.astype(np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(dist)])
+    for t in range(T):
+        i0, i1 = first[t], last[t]
+        if i0 < 0:
+            continue
+        s = csum[i1 + 1] - csum[i0]
+        if i0 > 0:
+            s += dist[i0 - 1] / 2.0
+        if i1 < n - 1:
+            s -= dist[i1] / 2.0
+        spans[t] = s
+    return spans
+
+
+def accumulate_tree_stats(
+    anc: AncFile,
+    mut: MutTable,
+    epochs: np.ndarray,
+    num_blocks_offset: int,
+    num: np.ndarray,
+    denom: np.ndarray,
+) -> int:
+    """Add one chromosome's per-block [E] num/denom; returns #blocks used.
+
+    num/denom: [max_blocks, E] accumulators (modified in place).
+    """
+    N = anc.n_hap
+    T = anc.num_trees
+    E = epochs.shape[0]
+    spans = np.float32(tree_spans(anc, mut)).astype(np.float64)  # driver float
+    coords = node_ages(anc)  # [T, M] f32
+
+    M = coords.shape[1]
+    # stable sort by (coord, node_index): argsort of f32 with index tiebreak
+    order = np.argsort(coords, axis=1, kind="stable")  # ties keep index order
+    sc = np.take_along_axis(coords.astype(np.float64), order, axis=1)  # [T, M]
+    is_leaf = order < N
+    lins = np.cumsum(np.where(is_leaf, 1, -1), axis=1)  # [T, M]
+
+    # intervals j=1..M-1: [sc[j-1], sc[j]], k = lins[:, j-1]
+    lo = sc[:, :-1]
+    hi = sc[:, 1:]
+    k = lins[:, :-1].astype(np.float64)
+    pairs = k * (k - 1.0) / 2.0  # [T, M-1]
+
+    # epoch overlap of every interval: [T, M-1, E]; epochs bound the sweep —
+    # exposure above the last boundary is dropped (coal_tree.cpp:160-174)
+    edge_lo = epochs[None, None, :]
+    edge_hi = np.concatenate([epochs[1:], [epochs[-1]]])[None, None, :]
+    ov = np.clip(
+        np.minimum(hi[:, :, None], edge_hi) - np.maximum(lo[:, :, None], edge_lo),
+        0.0,
+        None,
+    )
+    ov[:, :, -1] = 0.0  # last epoch: sweep stops at the final boundary
+    denom_tree = np.einsum("tm,tme->te", pairs, ov)  # [T, E]
+
+    # coalescence events: internal nodes, assigned to the epoch whose upper
+    # boundary first reaches the age (<=); ages above the last boundary drop
+    coal_age = sc[:, 1:]
+    is_coal = ~is_leaf[:, 1:]
+    ep_idx = np.searchsorted(epochs[1:], coal_age.ravel(), side="left").reshape(
+        coal_age.shape
+    )
+    keep = is_coal & (ep_idx < E - 0)  # index E-1 means above last boundary
+    keep &= ep_idx <= E - 2  # events beyond epochs[-1] dropped by the sweep
+    num_tree = np.zeros((T, E), np.float64)
+    t_idx = np.broadcast_to(np.arange(T)[:, None], coal_age.shape)
+    np.add.at(num_tree, (t_idx[keep], ep_idx[keep]), 1.0)
+
+    blocks = num_blocks_offset + np.arange(T) // BLOCK_SIZE_TREES
+    w = spans / 1e9
+    np.add.at(num, blocks, num_tree * w[:, None])
+    np.add.at(denom, blocks, denom_tree * w[:, None])
+    return T // BLOCK_SIZE_TREES + 1
+
+
+def bootstrap_block_weights_tree(num_bootstrap: int, num_blocks: int) -> np.ndarray:
+    """coal_tree::init_bootstrap (coal_tree.cpp:180-211): seed fixed at 1,
+    inclusive-upper-bound draws, out-of-range draws dropped."""
+    rng = MT19937(1)
+    w = np.zeros((num_bootstrap, num_blocks), np.float64)
+    for i in range(num_bootstrap):
+        draws = rng.uniform_int(0, num_blocks, num_blocks)  # [0, num_blocks]!
+        draws = draws[draws < num_blocks]
+        np.add.at(w[i], draws, 1.0)
+    return w
+
+
+def epochs_from_bins_tree(bins: str, years_per_gen: float) -> np.ndarray:
+    """coal() epoch grid (coal.cpp:120-135): 0, 10^lower..<upper step, 10^upper,
+    cap — no age splicing, no duplicate-zero quirk."""
+    parts = bins.split(",")
+    lower = float(np.float32(parts[0]))
+    upper = float(np.float32(parts[1]))
+    step = float(np.float32(parts[2]))
+    log10 = np.log(10.0)
+    epochs = [0.0]
+    b = lower
+    while b < upper:
+        epochs.append(np.exp(log10 * b) / years_per_gen)
+        b += step
+    epochs.append(np.exp(log10 * upper) / years_per_gen)
+    epochs.append(max(1e8, 10.0 * epochs[-1]) / years_per_gen)
+    return np.array(epochs, np.float64)
+
+
+def write_tree_coal(path: str, epochs, rates, num_bootstrap: int) -> None:
+    """coal_tree::Dump layout (coal_tree.cpp:256-295)."""
+
+    def fmt(x: float) -> str:
+        if np.isnan(x):
+            return "-nan" if np.signbit(x) else "nan"
+        return f"{x:g}"
+
+    with open(path, "w") as fh:
+        fh.write(" ".join(str(i) for i in range(num_bootstrap)) + " \n")
+        fh.write(" ".join(f"{e:g}" for e in epochs) + " \n")
+        for i in range(rates.shape[0]):
+            fh.write(f"0 {i} " + " ".join(fmt(r) for r in rates[i]) + " \n")
+
+
+def run_tree_mode(args) -> int:
+    if not args.input or not args.bins:
+        print("Needed: input, output, bins.", file=sys.stderr)
+        return 2
+    ypg = float(np.float32(args.years_per_gen)) if args.years_per_gen else 28.0
+    epochs = (
+        _epochs_from_coal(args.coal) if args.coal else epochs_from_bins_tree(args.bins, ypg)
+    )
+    E = epochs.shape[0]
+    chroms = ["1"]
+    if args.chr_file:
+        with open(args.chr_file) as fh:
+            chroms = [ln.strip() for ln in fh if ln.strip()]
+
+    max_blocks = 4096
+    num = np.zeros((max_blocks, E), np.float64)
+    denom = np.zeros((max_blocks, E), np.float64)
+    nb = 0
+    for c in chroms:
+        anc = AncFile.read(f"{args.input}_chr{c}.anc")
+        mut = MutTable.read(f"{args.input}_chr{c}.mut")
+        nb += accumulate_tree_stats(anc, mut, epochs, nb, num, denom)
+    B = args.num_bootstraps or 1
+    w = bootstrap_block_weights_tree(B, nb)
+    num_b = w @ num[:nb]
+    den_b = w @ denom[:nb]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rates = num_b / den_b
+    write_tree_coal(args.output + ".coal", epochs, rates, B)
+    print(f"tree mode: {nb} blocks, {B} bootstraps -> {args.output}.coal",
+          file=sys.stderr)
+    return 0
+
+
+def _epochs_from_coal(path: str) -> np.ndarray:
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    return np.array([float(np.float32(x)) for x in lines[1].split()], np.float64)

@@ -194,9 +194,10 @@ def _m_step(rates_old, num_tot, den_tot):
         new = jnp.where(num_e == 0, prev_new, jnp.where(den_e == 0, old_e, ratio))
         return new, new
 
-    _, new_rates = jax.lax.scan(
-        step, jnp.zeros((), rates_old.dtype), (num_tot, den_tot, rates_old)
-    )
+    # carry derives from an input so its mesh-varying type matches the
+    # output under shard_map (plain zeros would be cross-device invariant)
+    init = jnp.zeros((), rates_old.dtype) * rates_old[0]
+    _, new_rates = jax.lax.scan(step, init, (num_tot, den_tot, rates_old))
     return new_rates
 
 
@@ -263,12 +264,16 @@ def run_em(
         conv2 = conv | (newly & ~conv)
         return (it + 1, rates, ll_out, conv2, iters)
 
+    # batch-axis carries derive from the (possibly mesh-sharded) counts so
+    # their varying-across-mesh type matches the loop body's outputs when
+    # run_em executes inside shard_map (bootstrap-parallel EM)
+    zero_b = shared_counts[:, 0] * 0.0
     state0 = (
         jnp.zeros((), jnp.int32),
-        jnp.broadcast_to(init_rates, (B, E)).astype(epochs.dtype),
-        jnp.full((B,), -jnp.inf, epochs.dtype),
-        jnp.zeros((B,), bool),
-        jnp.zeros((B,), jnp.int32),
+        init_rates[None, :].astype(epochs.dtype) + zero_b[:, None],
+        zero_b - jnp.inf,
+        zero_b > 1.0,
+        zero_b.astype(jnp.int32),
     )
     it, rates, ll, conv, iters = jax.lax.while_loop(cond, body, state0)
     return rates, ll, iters

@@ -1,0 +1,188 @@
+"""Device-mesh execution of the mut pipeline.
+
+The reference is strictly single-core (SURVEY §2.9); the parallel axes
+live in the data model.  Mapping onto a TPU mesh (axis "d"):
+
+- **binning** (throughput-bound): sites are sharded along the genome
+  axis; every device scatter-adds its shard into a full
+  [num_blocks, 185] histogram and the partials are merged with one
+  ``psum`` — the classic data-parallel sufficient-statistic reduction.
+- **EM** (latency-bound, tiny tensors): the bootstrap axis is sharded —
+  replicates are independent EM fixed-points, so B replicates run
+  embarrassingly parallel across devices, then ``all_gather``.
+
+Both are expressed with ``shard_map`` over a 1-D ``jax.sharding.Mesh``
+so the same code runs on 1 chip, a v5e-8, or a multi-host slice (the
+mesh simply gets more devices; cross-host merges ride DCN through the
+same psum).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from colate_tpu.config import NUM_AGE_BINS, age_bin_edges
+
+
+def make_mesh(n_devices: int | None = None):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("d",))
+
+
+def _pad_to(x: np.ndarray, n: int, fill=0):
+    if x.shape[0] == n:
+        return x
+    pad = np.full((n - x.shape[0],) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad])
+
+
+def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
+                      num_blocks: int, age: float = 0.0):
+    """Data-parallel analytic binning: shard sites, psum block histograms.
+
+    Inputs are host numpy arrays; returns the four [num_blocks, 185]
+    float64 histograms (replicated).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    nd = mesh.devices.size
+    n = age_begin.shape[0]
+    n_pad = ((n + nd - 1) // nd) * nd if n else nd
+    # padding sites carry zero weight -> no effect on histograms
+    ab = _pad_to(np.asarray(age_begin, np.float64), n_pad)
+    ae = _pad_to(np.asarray(age_end, np.float64), n_pad, fill=1.0)
+    ws = _pad_to(np.asarray(w_shared, np.float64), n_pad)
+    wn = _pad_to(np.asarray(w_notshared, np.float64), n_pad)
+    blk = _pad_to(np.asarray(block_id, np.int32), n_pad)
+
+    fn = _sharded_bin_fn(mesh, num_blocks, float(age))
+    sh = NamedSharding(mesh, P("d"))
+    args = [jax.device_put(a, sh) for a in (ab, ae, ws, wn, blk)]
+    out = fn(*args)
+    return tuple(np.asarray(o) for o in out)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_bin_fn(mesh, num_blocks: int, age: float):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from colate_tpu.pipeline.binning import _overlap_probs
+
+    edges_np = age_bin_edges()
+    nbins = NUM_AGE_BINS
+
+    def local_bin(ab, ae, ws, wn, blk):
+        edges = jnp.asarray(edges_np)
+        is_emp = ab <= age
+        a_reg = jnp.maximum(ab, age)
+        p = _overlap_probs(a_reg, ae, edges)
+        norm = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.where(norm > 0, p / jnp.maximum(norm, 1e-300), 0.0)
+        w_s = jnp.where(is_emp, 0.0, ws)
+        w_n_reg = jnp.where(is_emp, 0.0, wn)
+        width = jnp.maximum(ae - ab, 1e-300)
+        cdf_u = jnp.clip((edges[None, :] - ab[:, None]) / width[:, None], 0.0, 1.0)
+        f_t = jnp.where(edges[None, :] > age, cdf_u, 0.0)
+        p_emp = f_t[:, 1:] - f_t[:, :-1]
+        p_emp = p_emp.at[:, -1].add(1.0 - f_t[:, -1])
+        w_n_emp = jnp.where(is_emp, wn, 0.0)
+        shared = jax.ops.segment_sum(p * w_s[:, None], blk, num_segments=num_blocks)
+        notshared = jax.ops.segment_sum(
+            p * w_n_reg[:, None] + p_emp * w_n_emp[:, None],
+            blk,
+            num_segments=num_blocks,
+        )
+        bin2 = jnp.clip(
+            jnp.where(
+                ae > 0,
+                jnp.floor(jnp.log(10.0 * jnp.maximum(ae, 1e-300)) * 10.0 + 0.5).astype(
+                    jnp.int32
+                )
+                + 1,
+                0,
+            ),
+            0,
+            nbins - 1,
+        )
+        key = blk * nbins + bin2
+        se = jax.ops.segment_sum(
+            jnp.where(is_emp, ws, 0.0), key, num_segments=num_blocks * nbins
+        ).reshape(num_blocks, nbins)
+        ne = jax.ops.segment_sum(
+            jnp.where(is_emp, wn, 0.0), key, num_segments=num_blocks * nbins
+        ).reshape(num_blocks, nbins)
+        # merge partial sufficient statistics across the mesh
+        return tuple(
+            jax.lax.psum(h, "d") for h in (shared, notshared, se, ne)
+        )
+
+    mapped = shard_map(
+        local_bin,
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
+                   max_iter: int | None = None):
+    """Bootstrap-parallel EM: shard replicates over the mesh.
+
+    shared/notshared_counts: [B, nbins] host arrays.  B is padded to a
+    multiple of the mesh size (padded replicates see the replicate-0
+    counts and are discarded).  Returns (rates [B,E], logl [B], iters [B]).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from colate_tpu.config import EM_MAX_ITER
+    from colate_tpu.ops.em import run_em
+
+    nd = mesh.devices.size
+    B = shared_counts.shape[0]
+    B_pad = ((B + nd - 1) // nd) * nd
+    sc = _pad_to(np.asarray(shared_counts, np.float64), B_pad)
+    nc = _pad_to(np.asarray(notshared_counts, np.float64), B_pad)
+    if B_pad > B:
+        sc[B:] = sc[0]
+        nc[B:] = nc[0]
+    mi = max_iter if max_iter is not None else EM_MAX_ITER
+
+    def local_em(ep, ir, s, n):
+        return run_em(ep, ir, s, n, max_iter=mi)
+
+    mapped = shard_map(
+        local_em,
+        mesh=mesh,
+        in_specs=(P(), P(), P("d"), P("d")),
+        out_specs=(P("d"), P("d"), P("d")),
+    )
+    sh_b = NamedSharding(mesh, P("d"))
+    rep = NamedSharding(mesh, P())
+    rates, logl, iters = jax.jit(mapped)(
+        jax.device_put(np.asarray(epochs), rep),
+        jax.device_put(np.asarray(init_rates), rep),
+        jax.device_put(sc, sh_b),
+        jax.device_put(nc, sh_b),
+    )
+    return (
+        np.asarray(rates)[:B],
+        np.asarray(logl)[:B],
+        np.asarray(iters)[:B],
+    )

@@ -43,25 +43,52 @@ from colate_tpu.hostrng import MT19937
 from colate_tpu.pipeline.join import JoinedSites
 
 
+# Histograms are computed over a fixed padded block axis so the compiled
+# kernel is shape-stable across datasets (the reference also allocates a
+# fixed 500 blocks, coal.cpp:3141).  Sites are padded to power-of-two
+# buckets for the same reason.
+MAX_BLOCKS = 512
+
+
+def _next_bucket(n: int) -> int:
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
 def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
     """Expected histograms over the MC sampling (device-friendly math).
 
     NOTE: tmp-mode parsing forces age=0 (coal.cpp:2073-2074) — `age` is
     accepted for the direct-BCF/BAM parsers which pass the real sample age.
     """
-    import jax
-
     nb = sites.num_blocks
-    out = _bin_analytic_jit(
-        jax.numpy.asarray(sites.age_begin),
-        jax.numpy.asarray(sites.age_end),
-        jax.numpy.asarray(sites.w_shared),
-        jax.numpy.asarray(sites.w_notshared),
-        jax.numpy.asarray(sites.block_id),
-        nb,
-        float(age),
-    )
-    return tuple(np.asarray(o) for o in out)
+    if nb > MAX_BLOCKS:
+        raise ValueError(f"num_blocks={nb} exceeds MAX_BLOCKS={MAX_BLOCKS}")
+    n = len(sites)
+    # fixed-size chunks keep the [chunk, 186] intermediates bounded and the
+    # compiled kernel shape-stable; small inputs use one snug bucket
+    chunk = min(_next_bucket(max(n, 1)), 262144)
+    acc = None
+    for lo in range(0, max(n, 1), chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        pad = chunk - m
+        ab = np.concatenate([sites.age_begin[lo:hi], np.full(pad, 1.0)])
+        ae = np.concatenate([sites.age_end[lo:hi], np.full(pad, 2.0)])
+        ws = np.concatenate([sites.w_shared[lo:hi], np.zeros(pad)])
+        wn = np.concatenate([sites.w_notshared[lo:hi], np.zeros(pad)])
+        blk = np.concatenate(
+            [sites.block_id[lo:hi], np.zeros(pad, np.int32)]
+        ).astype(np.int32)
+        out = _bin_analytic_jit(ab, ae, ws, wn, blk, MAX_BLOCKS, float(age))
+        if acc is None:
+            acc = [np.array(o) for o in out]  # writable copies
+        else:
+            for a, o in zip(acc, out):
+                a += np.asarray(o)
+    return tuple(a[:nb] for a in acc)
 
 
 def _overlap_probs(a, b, edges):

@@ -249,21 +249,26 @@ def join_tmptmp(
 
 
 def _allele_codes(mutation_type: np.ndarray):
-    """Split 'A/C'-style strings into uint8 codes + validity mask."""
-    n = mutation_type.shape[0]
-    anc = np.zeros(n, np.uint8)
-    der = np.zeros(n, np.uint8)
-    valid = np.zeros(n, bool)
-    for i, t in enumerate(mutation_type):
-        j = t.find("/")
-        a = t[:j] if j >= 0 else t
-        d = t[j + 1 :] if j >= 0 else ""
-        # the reference validates the full string against single characters
-        # (coal.cpp:2170-2171): multi-char alleles are invalid
-        if a in ("A", "C", "G", "T", "0") and d in ("A", "C", "G", "T", "1"):
-            anc[i] = ord(a)
-            der[i] = ord(d)
-            valid[i] = True
+    """Split 'A/C'-style strings into uint8 codes + validity mask.
+
+    The reference validates the full '/'-separated substrings against
+    single characters (coal.cpp:2170-2171), so a row is valid iff the
+    string is exactly 'X/Y' with X in ACGT0 and Y in ACGT1 — checkable
+    on a fixed-width byte view without any per-row Python.
+    """
+    as_bytes = np.asarray(mutation_type, dtype="S4")
+    padded = np.zeros((as_bytes.shape[0], 4), np.uint8)
+    view = as_bytes.view(np.uint8).reshape(as_bytes.shape[0], -1)
+    padded[:, : view.shape[1]] = view[:, :4]
+    b0, b1, b2, b3 = padded[:, 0], padded[:, 1], padded[:, 2], padded[:, 3]
+    anc_ok = np.isin(b0, np.frombuffer(b"ACGT0", np.uint8))
+    der_ok = np.isin(b2, np.frombuffer(b"ACGT1", np.uint8))
+    # exactly 3 chars: S4 keeps a NUL terminator for them; longer strings
+    # (invalid anyway) truncate to 4 bytes with b3 != 0
+    lengths = np.char.str_len(np.asarray(mutation_type, dtype="U8"))
+    valid = anc_ok & der_ok & (b1 == ord("/")) & (b3 == 0) & (lengths == 3)
+    anc = np.where(valid, b0, 0).astype(np.uint8)
+    der = np.where(valid, b2, 0).astype(np.uint8)
     return anc, der, valid
 
 

@@ -164,6 +164,44 @@ def make_fixture(
     )
 
 
+def make_table(
+    path: str,
+    chroms: list[str],
+    mut_tables: list[MutTable],
+    seed: int,
+    p_present: float = 0.7,
+    p_junk: float = 0.05,
+):
+    """Write a 'CHR BP allele' text table covering a subset of mut sites."""
+    g = np.random.default_rng(seed)
+    with open(path, "w") as fh:
+        for chrom, mt in zip(chroms, mut_tables):
+            anc = mt.anc_allele
+            der = mt.der_allele
+            for i in range(len(mt)):
+                if g.random() > p_present:
+                    continue
+                a = anc[i] if len(anc[i]) == 1 else "A"
+                d = der[i] if len(der[i]) == 1 else "C"
+                r = g.random()
+                if r < p_junk:
+                    allele = "T" if d != "T" else "G"  # junk third allele
+                elif r < 0.5:
+                    allele = d
+                else:
+                    allele = a
+                fh.write(f"{chrom} {mt.pos[i]} {allele}\n")
+
+
+def run_oracle(mode: str, argv: list[str], timeout: int = 600):
+    subprocess.run(
+        [REF_COLATE, "--mode", mode] + argv,
+        check=True,
+        capture_output=True,
+        timeout=timeout,
+    )
+
+
 def run_oracle_mut(fix: dict, out: str, seed: int = 1, num_bootstraps: int = 1,
                    bins: str = "3,7,0.2", extra: list[str] | None = None) -> str:
     """Run the reference binary's mode mut on a fixture; returns out prefix."""

@@ -1,0 +1,111 @@
+"""Golden tests for CoalRate mode local_ancestry (coal_LA)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from colate_tpu.formats.coal import CoalFile
+from helpers.synth_anc import REF_COALRATE, make_anc_mut
+
+
+@pytest.fixture(scope="module")
+def la_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lafix"))
+    prefix = os.path.join(root, "trees")
+    muts = {}
+    for i, c in enumerate(["1", "2"]):
+        _, tbl = make_anc_mut(prefix, c, N=12, num_trees=23, seed=31 + i)
+        muts[c] = tbl
+    chrfile = os.path.join(root, "chr.txt")
+    with open(chrfile, "w") as fh:
+        fh.write("1\n2\n")
+    # 4-column poplabels: 6 diploid samples -> 12 haplotypes, 2 pops
+    pop4 = os.path.join(root, "pop4.poplabels")
+    with open(pop4, "w") as fh:
+        fh.write("sample population group sex\n")
+        for i in range(6):
+            fh.write(f"S{i} {'POPA' if i < 3 else 'POPB'} G1 NA\n")
+    # segment-format poplabels: 2 labels, segments switching mid-chromosome
+    la = os.path.join(root, "seg.poplabels")
+    g = np.random.default_rng(3)
+    with open(la, "w") as fh:
+        fh.write("ANC1 ANC2\n")
+        for c in ["1", "2"]:
+            maxpos = int(muts[c].pos[-1])
+            cuts = [0, maxpos // 3, 2 * maxpos // 3]
+            for bp in cuts:
+                labels = " ".join(str(int(x)) for x in g.integers(0, 2, 12))
+                fh.write(f"{c} {bp} {labels}\n")
+    return dict(prefix=prefix, chrfile=chrfile, pop4=pop4, seg=la)
+
+
+def _run_ref(fix, poplabels, out):
+    subprocess.run(
+        [
+            REF_COALRATE, "--mode", "local_ancestry",
+            "-i", fix["prefix"],
+            "--chr", fix["chrfile"],
+            "--poplabels", poplabels,
+            "--bins", "2,6,0.5",
+            "-o", out,
+        ],
+        check=True, capture_output=True, timeout=300,
+    )
+
+
+def _run_ours(fix, poplabels, out):
+    from colate_tpu.models.local_ancestry import run_local_ancestry
+
+    class Args:
+        input = fix["prefix"]
+        bins = "2,6,0.5"
+        chr_file = fix["chrfile"]
+        years_per_gen = None
+        num_bootstraps = 1
+        coal = None
+        output = out
+
+    Args.poplabels = poplabels
+    run_local_ancestry(Args())
+
+
+def _compare(ref_path, our_path):
+    with open(ref_path) as fh:
+        ref_lines = fh.read().splitlines()
+    with open(our_path) as fh:
+        our_lines = fh.read().splitlines()
+    assert ref_lines[0].split() == our_lines[0].split()
+    assert len(ref_lines) == len(our_lines)
+    np.testing.assert_allclose(
+        [float(x) for x in our_lines[1].split()],
+        [float(x) for x in ref_lines[1].split()],
+        rtol=1e-6,
+    )
+    for r, o in zip(ref_lines[2:], our_lines[2:]):
+        rp, op = r.split(), o.split()
+        assert rp[:2] == op[:2]
+        rv = np.array([float(x) for x in rp[2:]])
+        ov = np.array([float(x) for x in op[2:]])
+        m = np.isfinite(rv)
+        np.testing.assert_array_equal(np.isfinite(ov), m)
+        np.testing.assert_allclose(ov[m], rv[m], rtol=1e-5)
+
+
+@pytest.mark.oracle
+def test_local_ancestry_4col_golden(la_fixture, tmp_path):
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    _run_ref(la_fixture, la_fixture["pop4"], str(tmp_path / "ref4"))
+    _run_ours(la_fixture, la_fixture["pop4"], str(tmp_path / "our4"))
+    _compare(str(tmp_path / "ref4.coal"), str(tmp_path / "our4.coal"))
+
+
+@pytest.mark.oracle
+def test_local_ancestry_segments_golden(la_fixture, tmp_path):
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    _run_ref(la_fixture, la_fixture["seg"], str(tmp_path / "refs"))
+    _run_ours(la_fixture, la_fixture["seg"], str(tmp_path / "ours"))
+    _compare(str(tmp_path / "refs.coal"), str(tmp_path / "ours.coal"))
