@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         return run_compare_tmp(args)
 
     if mode == "count_topo":
-        from colate_tpu.models.count_topo import run_count_topo
+        from colate_tpu.models.compare_tmp import run_count_topo
 
         return run_count_topo(args)
 

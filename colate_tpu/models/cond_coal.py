@@ -1,0 +1,401 @@
+"""Mode ``CondCoalRates``: conditional pairwise coalescence rates.
+
+Reference: coal/coal.cpp:5002-5582 + GetConditionalCoalescentRate
+(coal.cpp:4785-4999).  For each focal haplotype f and conditional
+haplotype c, with L = the first node on f's root path whose subtree
+contains c (coal_age = age(L), binned on the focal-epoch grid), every
+ancestor A strictly above L contributes for each leaf `other` in A's
+non-path child subtree:
+
+    num[ep_focal(coal_age)][epoch(age(A))][group(other)]  += factor
+    denom[ep_focal(coal_age)][e][group(other)] += factor·|[coal_age, age(A)] ∩ e|
+
+(the exposure restarts at coal_age for every ancestor — reference
+semantics).  An empty conditional group uses c=-1: use-from-leaf with
+coal_age=0.  Blocks are 30 Mb by the tree's first-SNP position.
+
+Replicated reference quirks:
+- the tree loop body runs once more after the iterator is exhausted,
+  re-adding the last tree with factor = -1.0 (coal.cpp:5399-5416 loop
+  structure: NextTree's -1.0 return value is used as the weight);
+- the default --lineage_bin of 1e5 is treated as a log10 exponent, so
+  epochs_focal[1] = exp(ln10·1e5)/ypg = inf (coal.cpp:5149-5156);
+- epoch grids are float32; per-tree spans are float32.
+
+The inner accumulation is vectorised by grouping conditional haplotypes
+by their LCA depth on f's path and counting sibling leaves per group
+(counts per node precomputed), instead of the reference's
+O(F·C·depth·leaves) scalar loops.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from colate_tpu.formats.anc import AncFile, node_ages
+from colate_tpu.formats.fasta import read_fasta
+from colate_tpu.formats.gmap import RecombMap
+from colate_tpu.formats.mut import MutTable
+from colate_tpu.formats.sample import Sample
+from colate_tpu.hostrng import MT19937
+from colate_tpu.models.tree_coal import tree_spans
+
+BIN_SIZE = 30_000_000
+
+# this mode declares `float log_10 = std::log(10)` (coal.cpp:5067) — the
+# truncated constant shifts epoch values in the 6th digit
+LOG10_F32 = float(np.float32(np.log(10.0)))
+
+
+def default_epochs(years_per_gen: float) -> np.ndarray:
+    """31 log-spaced epochs (coal.cpp:5138-5146), float32 grid."""
+    E = 31
+    ep = np.zeros(E, np.float64)
+    ep[1] = 1e3 / years_per_gen
+    for e in range(2, E - 1):
+        ep[e] = np.exp(LOG10_F32 * (3.0 + 4.0 * (e - 1.0) / (E - 3.0))) / years_per_gen
+    ep[E - 1] = 1e8 / years_per_gen
+    return np.float32(ep).astype(np.float64)
+
+
+def epochs_from_bins_cond(bins: str, years_per_gen: float) -> np.ndarray:
+    parts = bins.split(",")
+    lower = float(np.float32(parts[0]))
+    upper = float(np.float32(parts[1]))
+    step = float(np.float32(parts[2]))
+    log10 = LOG10_F32
+    ep = [0.0]
+    b = lower
+    while b < upper:
+        ep.append(np.exp(log10 * b) / years_per_gen)
+        b += step
+    ep.append(np.exp(log10 * upper) / years_per_gen)
+    ep.append(max(1e8, 10.0 * ep[-1]) / years_per_gen)
+    return np.float32(np.array(ep)).astype(np.float64)
+
+
+def _ep_init_of(coal_age, epochs):
+    """largest ep with epochs[ep] < coal_age, or 0 (coal.cpp:4845-4851)."""
+    if coal_age > epochs[0]:
+        return int(np.searchsorted(epochs, coal_age, side="left")) - 1
+    return 0
+
+
+def _ep_focal_of(coal_age, epochs_focal):
+    """largest ep with epochs_focal[ep] <= coal_age (coal.cpp:4813-4822)."""
+    i = int(np.searchsorted(epochs_focal, coal_age, side="right")) - 1
+    return max(i, 0)
+
+
+def cond_rates_tree(
+    blen_t: np.ndarray,  # [M] branch lengths of this tree
+    children_t: np.ndarray,  # [M, 2]
+    parent_t: np.ndarray,  # [M]
+    desc_counts: np.ndarray,  # [M, G] leaf-group counts per subtree
+    cond_mask_counts: np.ndarray,  # [M] count of conditional haps per subtree
+    focal_haps: np.ndarray,
+    cond_empty: bool,
+    factor: float,
+    epochs: np.ndarray,
+    epochs_focal: np.ndarray,
+    num: np.ndarray,  # [F_ep, E, G] accumulators
+    denom: np.ndarray,
+    sample_ages: np.ndarray | None = None,
+    cond_haps: np.ndarray | None = None,
+    group_of_hap: np.ndarray | None = None,
+) -> None:
+    M = parent_t.shape[0]
+    root = M - 1
+    E = epochs.shape[0]
+
+    for f in focal_haps:
+        # path from leaf f to root
+        path = [int(f)]
+        while path[-1] != root and parent_t[path[-1]] >= 0:
+            path.append(int(parent_t[path[-1]]))
+        depth = len(path)
+        # the reference accumulates `coord` in FLOAT along the path
+        # (coal.cpp:4797/4840: float coord; coord += branch_length) —
+        # replicate that instead of using the GetCoordinates node ages
+        path_age = np.empty(depth, np.float64)
+        acc = np.float32(sample_ages[f]) if sample_ages is not None else np.float32(0.0)
+        path_age[0] = float(acc)
+        for d in range(1, depth):
+            acc = np.float32(float(acc) + blen_t[path[d - 1]])
+            path_age[d] = float(acc)
+        # number of conditional haps whose LCA with f is path[d]
+        # (first path node containing them)
+        if cond_empty:
+            lca_counts = np.zeros(depth, np.int64)
+            lca_counts[0] = 1  # virtual c=-1: use from the leaf
+            coal_ages = np.zeros(depth)
+            coal_ages[0] = path_age[0]
+        else:
+            cc = cond_mask_counts[path]
+            inc = np.diff(cc)
+            lca_counts = np.concatenate([[cond_mask_counts[f]], inc])
+            # f itself may be conditional: the reference skips c==f pairs
+            if cond_haps is not None and f in cond_haps:
+                lca_counts[0] -= 1
+            coal_ages = path_age
+        for d in range(depth):
+            m = int(lca_counts[d])
+            if m <= 0:
+                continue
+            coal_age = float(coal_ages[d])
+            # c == -1 never recomputes the focal bin: stays 0 (coal.cpp:4806)
+            forced_ep0 = cond_empty and d == 0
+            ep_start = 0 if forced_ep0 else _ep_focal_of(coal_age, epochs_focal)
+            ep_init = _ep_init_of(coal_age, epochs)
+            # ancestors strictly above path[d]
+            for ai in range(d, depth - 1):
+                a = path[ai + 1]
+                age_a = float(path_age[ai + 1])
+                on_path = path[ai]
+                sib = int(children_t[a, 0])
+                if sib == on_path:
+                    sib = int(children_t[a, 1])
+                counts = desc_counts[sib]  # [G]
+                if sample_ages is None:
+                    # exposure [coal_age, age_a] over epochs, from ep_init
+                    ep_num = ep_init
+                    lower = coal_age
+                    while ep_num + 1 < E and age_a > epochs[ep_num + 1]:
+                        denom[ep_start, ep_num] += (
+                            factor * (epochs[ep_num + 1] - lower) * m * counts
+                        )
+                        ep_num += 1
+                        lower = epochs[ep_num]
+                    denom[ep_start, ep_num] += factor * (age_a - lower) * m * counts
+                    num[ep_start, ep_num] += factor * m * counts
+                else:
+                    _ancient_pair_accumulate(
+                        coal_age, age_a, factor, m, sib,
+                        sample_ages, group_of_hap, epochs, epochs_focal,
+                        num, denom, children_t, float(sample_ages[f]),
+                        forced_ep0,
+                    )
+
+
+def _ancient_pair_accumulate(
+    coal_age, age_a, factor, mult, sib, sample_ages,
+    group_of_hap, epochs, epochs_focal, num, denom, children_t, age_f,
+    forced_ep0=False,
+):
+    """Sample-age-aware variant (coal.cpp:4885-4999): per-other lower_age
+    truncation.  Leaves of `sib` are enumerated (ages differ per leaf)."""
+    E = epochs.shape[0]
+    # collect leaves of sib subtree
+    stack = [sib]
+    leaves = []
+    while stack:
+        u = stack.pop()
+        if children_t[u, 0] < 0:
+            leaves.append(u)
+        else:
+            stack.append(int(children_t[u, 0]))
+            stack.append(int(children_t[u, 1]))
+    # ep_coal uses strict < (coal.cpp:4920-4926); c==-1 keeps it at 0
+    ep_coal = 0
+    if not forced_ep0 and epochs_focal[0] < coal_age:
+        ep_coal = max(int(np.searchsorted(epochs_focal, coal_age, side="left")) - 1, 0)
+    ep_init = _ep_init_of(coal_age, epochs)
+    for other in leaves:
+        lower = max(age_f, float(sample_ages[other]), coal_age)
+        if lower <= coal_age:
+            ep_start, ep = ep_coal, ep_init
+        else:
+            ep_start = ep_coal
+            if epochs_focal[ep_start] < lower:
+                ep_start = max(
+                    int(np.searchsorted(epochs_focal, lower, side="left")) - 1, 0
+                )
+            ep = ep_init
+            if epochs[ep] < lower:
+                ep = max(int(np.searchsorted(epochs, lower, side="left")) - 1, 0)
+        g = int(group_of_hap[other])
+        lo = lower
+        while ep + 1 < E and age_a > epochs[ep + 1]:
+            denom[ep_start, ep, g] += factor * (epochs[ep + 1] - lo) * mult
+            ep += 1
+            lo = epochs[ep]
+        denom[ep_start, ep, g] += factor * (age_a - lo) * mult
+        num[ep_start, ep, g] += factor * mult
+
+
+def run_cond_coal(args) -> int:
+    if not args.input or not args.output or not args.poplabels or not args.groups:
+        print("Needed: input, output, poplabels, groups.", file=sys.stderr)
+        return 2
+    ypg = float(np.float32(args.years_per_gen)) if args.years_per_gen else 28.0
+    epochs = (
+        epochs_from_bins_cond(args.bins, ypg) if args.bins else default_epochs(ypg)
+    )
+    lineage_bin = float(np.float32(args.lineage_bin)) if args.lineage_bin else 1e5
+    with np.errstate(over="ignore"):
+        ef1 = np.float32(np.exp(LOG10_F32 * lineage_bin)) / np.float32(ypg)
+    epochs_focal = np.array([0.0, float(ef1)], np.float64)
+
+    seed = args.seed if args.seed is not None else 1
+    rng = MT19937(seed)
+    sample = Sample.read(args.poplabels)
+    g1, g2 = (args.groups.split(",") + [""])[:2]
+    goh = sample.group_of_haplotype
+    names = np.array(sample.groups, dtype=object)
+    focal = np.nonzero(names[goh] == g1)[0]
+    cond = np.nonzero(names[goh] == g2)[0]
+    if focal.size == 0:
+        print("Error: groups not found", file=sys.stderr)
+        return 1
+    cond_empty = cond.size == 0
+    G = len(sample.groups)
+    E = epochs.shape[0]
+    F_ep = epochs_focal.shape[0]
+
+    chroms = ["NA"]
+    if args.chr_file:
+        with open(args.chr_file) as fh:
+            chroms = [ln.strip() for ln in fh if ln.strip()]
+
+    blocks_num: list[np.ndarray] = []
+    blocks_denom: list[np.ndarray] = []
+    chr_bin = 0
+    cutoff = args.mask_cutoff if args.mask_cutoff is not None else 0.9
+    for c in chroms:
+        base = args.input if c == "NA" else f"{args.input}_chr{c}"
+        anc = AncFile.read(base + ".anc")
+        mut = MutTable.read(base + ".mut")
+        mask = None
+        if args.mask:
+            mpath = args.mask if c == "NA" else f"{args.mask}_chr{c}.fa"
+            mask = np.frombuffer(read_fasta(mpath).encode(), np.uint8)
+        gmap = None
+        if args.map:
+            gpath = args.map if c == "NA" else f"{args.map}_chr{c}.txt"
+            gmap = RecombMap.load(gpath)
+
+        spans = np.float32(tree_spans(anc, mut)).astype(np.float64)
+        coords = node_ages(anc).astype(np.float64)
+        from colate_tpu.models.local_ancestry import _children
+
+        ch = _children(anc)
+        T = anc.num_trees
+        N = anc.n_hap
+        M = 2 * N - 1
+        # per-subtree group counts and conditional-hap counts
+        onehot = np.zeros((N, G))
+        onehot[np.arange(N), goh[:N]] = 1.0
+        cond_onehot = np.zeros(N)
+        cond_onehot[cond] = 1.0
+        sample_ages = anc.sample_ages
+        if sample_ages is not None and not np.any(np.asarray(sample_ages) > 0):
+            sample_ages = None
+
+        # tree -> 30Mb block by first-SNP position
+        first_pos = np.zeros(T, np.int64)
+        row = 0
+        n = len(mut)
+        for t in range(T):
+            while row < n and mut.tree[row] < t:
+                row += 1
+            first_pos[t] = mut.pos[min(row, n - 1)] if n else 0
+        tree_blocks = (first_pos // BIN_SIZE).astype(np.int64) + chr_bin
+        max_blk = int(tree_blocks.max()) if T else chr_bin
+        while len(blocks_num) <= max_blk:
+            blocks_num.append(np.zeros((F_ep, E, G)))
+            blocks_denom.append(np.zeros((F_ep, E, G)))
+
+        def passing_fraction(t: int) -> float:
+            if mask is None and gmap is None:
+                return 1.0
+            # tree window [pos_start, pos_end) from mut-row midpoints
+            rows_t = np.nonzero(mut.tree == t)[0]
+            if rows_t.size == 0:
+                return 1.0
+            i0, i1 = rows_t[0], rows_t[-1]
+            ps = int(mut.pos[i0])
+            if i0 > 0:
+                ps = int(round((ps + int(mut.pos[i0 - 1])) / 2))
+            pe = ps + 1
+            if i1 + 1 < n:
+                pe = int(round((int(mut.pos[i1 + 1]) + int(mut.pos[i1])) / 2))
+            if pe <= ps:
+                pe = ps + 1
+            frac = 1.0
+            if mask is not None:
+                win = mask[ps:pe]
+                frac = float(np.count_nonzero(win == ord("P"))) / (pe - ps)
+            if gmap is not None and gmap.bp.size > 1:
+                gp = np.interp([ps, pe], gmap.bp, gmap.gen_pos)
+                rate = (gp[1] - gp[0]) / (pe - ps) * 1e6
+                if rate > 0.1:
+                    frac = 0.0
+            return frac
+
+        def process(t: int, factor: float):
+            blk = int(tree_blocks[t])
+            C = np.zeros((M, G))
+            C[:N] = onehot
+            cond_cnt = np.zeros(M)
+            cond_cnt[:N] = cond_onehot
+            for j in range(M - 1):
+                p = anc.parent[t, j]
+                if p >= 0:
+                    C[p] += C[j]
+                    cond_cnt[p] += cond_cnt[j]
+            cond_rates_tree(
+                anc.branch_length[t], ch[t], anc.parent[t], C, cond_cnt,
+                focal, cond_empty, factor, epochs, epochs_focal,
+                blocks_num[blk], blocks_denom[blk],
+                sample_ages=(
+                    np.asarray(sample_ages, np.float64)
+                    if sample_ages is not None
+                    else None
+                ),
+                cond_haps=cond,
+                group_of_hap=goh,
+            )
+
+        last_t = None
+        for t in range(T):
+            if passing_fraction(t) >= cutoff:
+                process(t, float(spans[t]))
+                last_t = t
+            else:
+                last_t = t  # phantom pass reuses the stale tree regardless
+        # reference loop-structure quirk: one extra pass with factor = -1
+        if last_t is not None and passing_fraction(last_t) >= cutoff:
+            process(last_t, -1.0)
+        chr_bin = max_blk + 1
+
+    num_blocks = len(blocks_num)
+    B = args.num_bootstraps or 1
+    with open(args.output, "w") as os_:
+        os_.write("boot lineage_epoch epoch.start group rate\n")
+        for it in range(B):
+            if B == 1:
+                w = np.ones(num_blocks)
+            else:
+                w = np.zeros(num_blocks)
+                np.add.at(w, rng.uniform_int(0, num_blocks - 1, num_blocks), 1.0)
+            res_num = sum(w[k] * blocks_num[k] for k in range(num_blocks))
+            res_den = sum(w[k] * blocks_denom[k] for k in range(num_blocks))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rates = res_num / res_den
+            for e1 in range(F_ep):
+                for e2 in range(E):
+                    for g in range(G):
+                        r = rates[e1, e2, g]
+                        rs = (
+                            ("-nan" if np.signbit(r) else "nan")
+                            if np.isnan(r)
+                            else f"{r:g}"
+                        )
+                        os_.write(
+                            f"{it} {epochs_focal[e1]:g} {epochs[e2]:g} "
+                            f"{sample.groups[g]} {rs}\n"
+                        )
+    print(f"CondCoalRates -> {args.output}", file=sys.stderr)
+    return 0
