@@ -1,0 +1,268 @@
+"""BAM pileup cursor replicating the reference's ``bam_parser``.
+
+Reference: include/vcf/htslib.{hpp,cpp}.  Semantics replicated exactly:
+
+- per-read filters: mapq >= mapq_th, len >= len_th (htslib.cpp:61);
+  base window [3, len-3) (htslib.cpp:68); base quality >= 30
+  (bq_th, htslib.hpp:64); <= mismatch_th mismatches against the ref
+  genome among quality bases, and at least one quality base
+  (htslib.cpp:112/141);
+- reads are treated as UNGAPPED: seq[i] aligns to ref[pos+i], CIGAR is
+  never consulted (htslib.cpp:92-104);
+- a position "has an entry" iff some mapq/len-passing read contributed
+  a baseQ>=30 base there inside [3, len-3) and inside the ref genome
+  (the pos_of_entry claim at htslib.cpp:100-104) — even when that read
+  later fails the mismatch filter;
+- allele counts accumulate only from mismatch-passing reads; with
+  --strandfilter, forward-strand bases where ref or anc genome is 'C'
+  and reverse-strand bases where ref or anc is 'G' are excluded
+  (htslib.cpp:119);
+- ``coverage`` sums read lengths of every contig-matching read
+  consumed; ``coverage_after_filter`` of every mismatch-passing read;
+- the streaming cursor consumes reads until ``pos - query >= 5e4``
+  (num_entries/2, htslib.cpp:429-434) or the contig changes; a contig
+  boundary read is re-processed under the next contig by
+  ``assign_contig`` (htslib.cpp:537-575);
+- contig match accepts the name or "chr"+name (htslib.cpp:394).
+
+The circular buffer of the reference is replaced by flat per-contig
+count arrays — exactly equivalent for the monotone queries all modes
+issue (slots can only be reclaimed >=50kb behind the query horizon).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from colate_tpu.formats.bam import BamRecords, read_bam
+from colate_tpu.formats.fasta import read_fasta
+
+_BASE_INDEX = np.full(256, -1, np.int8)
+for _i, _b in enumerate("ACGT"):
+    _BASE_INDEX[ord(_b)] = _i
+
+# char → nt16 code (htslib seq_nt16_table; unknowns → N=15)
+_NT16_CODE = np.full(256, 15, np.uint8)
+for _i, _b in enumerate("=ACMGRSVTWYHKDBN"):
+    _NT16_CODE[ord(_b)] = _i
+
+NUM_ENTRIES = 100_000  # htslib.hpp:93
+
+
+class BamCursor:
+    def __init__(self, path: str, params: str = "20,30,10",
+                 strandfilter: bool = False, preloaded: BamRecords | None = None):
+        parts = params.split(",")
+        self.mapq_th = int(parts[0])
+        self.len_th = int(parts[1])
+        self.mismatch_th = int(parts[2])
+        self.bq_th = 30
+        self.strandfilter = strandfilter
+        self.rec = preloaded if preloaded is not None else read_bam(path)
+        self.idx = 0  # next record to consume
+        self.loaded = -1  # index of the record in the "aln" slot
+        self.chr: str | None = None
+        self.pos = 0
+        self.contig = ""
+        self.eof = False
+        self.prev_pos = -1
+        self.coverage = 0.0
+        self.coverage_after_filter = 0.0
+        self.ref = np.zeros(0, np.uint8)
+        self.anc = np.zeros(0, np.uint8)
+        self.counts = np.zeros((0, 4), np.int64)
+        self.claimed = np.zeros(0, bool)
+
+    # -- genome helpers ------------------------------------------------
+    @staticmethod
+    def _genome(path: str) -> np.ndarray:
+        return np.frombuffer(read_fasta(path).encode(), np.uint8).copy()
+
+    def _match(self, chrom: str | None) -> bool:
+        return chrom is not None and (
+            chrom == self.contig or chrom == "chr" + self.contig
+        )
+
+    # -- core read processing (htslib.cpp:60-169) ----------------------
+    def _count_alleles_for_read(self, garbled_qual: bool = False) -> None:
+        """garbled_qual replicates the assign_contig path, where the
+        reference never reassigns q to bam_get_qual (htslib.cpp:549 vs
+        406): the 'qualities' are the nt16-packed SEQ bytes, overrunning
+        into the real qual array for offsets past (len+1)//2."""
+        r = self.rec
+        i = self.loaded
+        length = len(r.seq[i])
+        if r.mapq[i] < self.mapq_th or length < self.len_th:
+            return
+        start, end = 3, length - 3
+        if end <= start:
+            return
+        gpos = self.pos + np.arange(start, end)
+        n_in = int(np.searchsorted(gpos, self.ref.shape[0]))  # break at genome end
+        if n_in == 0:
+            return
+        gpos = gpos[:n_in]
+        if garbled_qual:
+            q = self._garbled_qual(i)[start : start + n_in]
+        else:
+            q = r.qual[i][start : start + n_in]
+        seq = np.frombuffer(r.seq[i].encode(), np.uint8)[start : start + n_in]
+        quality = q >= self.bq_th
+        total = int(quality.sum())
+        if total:
+            refb = self.ref[gpos]
+            matching = int((quality & (refb == seq)).sum())
+            self.claimed[gpos[quality]] = True
+        else:
+            matching = 0
+        if total - matching <= self.mismatch_th and total > 0:
+            self.coverage_after_filter += length
+            use = quality
+            if self.strandfilter:
+                refb = self.ref[gpos]
+                ancb = np.where(
+                    gpos < self.anc.shape[0],
+                    self.anc[np.minimum(gpos, max(self.anc.shape[0] - 1, 0))],
+                    0,
+                )
+                if r.flag[i] & 0x10:  # reverse: exclude G sites
+                    ok = (refb != ord("G")) & (ancb != ord("G"))
+                else:  # forward: exclude C sites
+                    ok = (refb != ord("C")) & (ancb != ord("C"))
+                use = use & ok
+            codes = _BASE_INDEX[seq]
+            sel = use & (codes >= 0)
+            np.add.at(self.counts, (gpos[sel], codes[sel]), 1)
+
+    def _garbled_qual(self, i: int) -> np.ndarray:
+        """bam_get_seq bytes followed by the real quals (bam1_t layout)."""
+        seq = np.frombuffer(self.rec.seq[i].encode(), np.uint8)
+        codes = _NT16_CODE[seq]
+        if codes.shape[0] % 2:
+            codes = np.append(codes, 0)
+        packed = (codes[0::2] << 4) | codes[1::2]
+        return np.concatenate([packed.astype(np.uint8), self.rec.qual[i]])
+
+    def _process_loaded(self, garbled_qual: bool = False) -> None:
+        """The contig-matching body of read_entry (htslib.cpp:391-423)."""
+        r = self.rec
+        i = self.loaded
+        self._count_alleles_for_read(garbled_qual)
+        if self.pos < self.prev_pos:
+            raise RuntimeError("BAM file not sorted by position")
+        self.prev_pos = int(self.pos)
+        self.coverage += len(r.seq[i])
+
+    def read_entry(self) -> bool:
+        if self.idx >= len(self.rec):
+            self.eof = True
+            return False
+        self.loaded = self.idx
+        self.idx += 1
+        self.pos = int(self.rec.pos[self.loaded])
+        self.chr = str(self.rec.contig[self.loaded])
+        if self._match(self.chr):
+            self._process_loaded()
+        return True
+
+    # -- streaming to a query position (htslib.cpp:426-436) ------------
+    def read_to_pos(self, current_pos: int) -> bool:
+        if self._match(self.chr):
+            if not self.eof and self.pos - current_pos < NUM_ENTRIES / 2.0:
+                while self.read_entry():
+                    if self.pos - current_pos >= NUM_ENTRIES / 2.0:
+                        break
+                    if not self._match(self.chr):
+                        break
+        return self.eof
+
+    # -- per-contig reset (htslib.cpp:490-575) --------------------------
+    def assign_contig(self, icontig: str, ref_path: str, anc_path: str = "") -> None:
+        if icontig != "":
+            self.contig = icontig
+        self.ref = self._genome(ref_path)
+        self.anc = self._genome(anc_path) if anc_path else np.zeros(0, np.uint8)
+        if self.strandfilter and not anc_path:
+            raise ValueError("strandfilter requires an ancestral genome")
+        self.eof = False
+        self.coverage = 0.0
+        self.coverage_after_filter = 0.0
+        self.prev_pos = -1
+        self.counts = np.zeros((self.ref.shape[0], 4), np.int64)
+        self.claimed = np.zeros(self.ref.shape[0], bool)
+        ret = True
+        if self.chr is None:
+            ret = self._raw_read()
+        while not self._match(self.chr) and ret:
+            ret = self._raw_read()
+        if ret:
+            self.pos = int(self.rec.pos[self.loaded])
+            self.chr = str(self.rec.contig[self.loaded])
+            if self.contig == "":
+                self.contig = self.chr
+            self._process_loaded(garbled_qual=True)
+        else:
+            self.eof = True
+
+    def _raw_read(self) -> bool:
+        """sam_read1 without the read_entry processing (seek loop)."""
+        if self.idx >= len(self.rec):
+            return False
+        self.loaded = self.idx
+        self.idx += 1
+        self.chr = str(self.rec.contig[self.loaded])
+        return True
+
+    # -- pileup queries -------------------------------------------------
+    def entry_counts(self, bp: int):
+        """counts[4] if position bp has a claimed entry, else None."""
+        if 0 <= bp < self.claimed.shape[0] and self.claimed[bp]:
+            return self.counts[bp]
+        return None
+
+    # -- deamination profile (htslib.cpp:440-486) ------------------------
+    def read_deam(self, current_pos: int, stats: dict) -> bool:
+        """stats holds 15-long int arrays: isC1/isC2/isCT1/isCT2/
+        isCpG1/isCpG2/isCpGt1/isCpGt2.  The currently loaded read is NOT
+        counted (only reads consumed by this loop are)."""
+        if self._match(self.chr):
+            if not self.eof and self.pos - current_pos < NUM_ENTRIES / 2.0:
+                while self.read_entry():
+                    if self.pos - current_pos >= NUM_ENTRIES / 2.0:
+                        break
+                    if not self._match(self.chr):
+                        break
+                    i = self.loaded
+                    length = len(self.rec.seq[i])
+                    if self.rec.mapq[i] < self.mapq_th or length < self.len_th:
+                        continue
+                    gpos = self.pos + np.arange(length)
+                    n_in = int(np.searchsorted(gpos, self.ref.shape[0]))
+                    if n_in == 0:
+                        continue
+                    gpos = gpos[:n_in]
+                    seq = np.frombuffer(self.rec.seq[i].encode(), np.uint8)[:n_in]
+                    refb = self.ref[gpos]
+                    right = np.where(
+                        gpos + 1 < self.ref.shape[0], self.ref[np.minimum(gpos + 1, self.ref.shape[0] - 1)], 0
+                    )
+                    left = np.where(gpos - 1 >= 0, self.ref[np.maximum(gpos - 1, 0)], 0)
+                    isC = (refb == ord("C")) | (refb == ord("G"))
+                    isCpG = ((refb == ord("C")) & (right == ord("G"))) | (
+                        (refb == ord("G")) & (left == ord("C"))
+                    )
+                    deam = ((refb == ord("C")) & (seq == ord("T"))) | (
+                        (refb == ord("G")) & (seq == ord("A"))
+                    )
+                    js = np.arange(n_in)
+                    from_end = length - 1 - js
+                    for name, lim, idxs in (
+                        ("1", js < 15, js),
+                        ("2", from_end < 15, from_end),
+                    ):
+                        m = isC & lim
+                        np.add.at(stats["isC" + name], idxs[m], 1)
+                        np.add.at(stats["isCT" + name], idxs[m & deam], 1)
+                        np.add.at(stats["isCpG" + name], idxs[m & isCpG], 1)
+                        np.add.at(stats["isCpGt" + name], idxs[m & isCpG & deam], 1)
+        return self.eof

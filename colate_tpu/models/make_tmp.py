@@ -167,7 +167,17 @@ def run_make_tmp(args) -> int:
     if args.target_bam:
         from colate_tpu.models.make_tmp_bam import maketmp_bam
 
-        n = maketmp_bam(args, chroms, names, out)
+        n = maketmp_bam(
+            chroms,
+            names(args.mut, ".mut"),
+            args.target_bam,
+            names(args.target_mask, ".fa"),
+            names(args.ref_genome, ".fa"),
+            names(args.anc_genome, ".fa"),
+            out,
+            params=getattr(args, "filters", None) or "20,30,10",
+            strandfilter=bool(getattr(args, "strandfilter", False)),
+        )
         print(f"make_tmp: wrote {n} records to {out}", file=sys.stderr)
         return 0
     print("make_tmp: need --target_bcf, --target_bam or --target_table",
