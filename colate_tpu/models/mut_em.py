@@ -108,14 +108,43 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     else:
         t0 = time.time()
         chroms, mut_files, tmask_files, rmask_files = resolve_tmp_inputs(cfg)
-        mut_tables = [MutTable.read(f) for f in mut_files]
-        target = read_colate_in(cfg.target_tmp)
-        reference = read_colate_in(cfg.reference_tmp)
-        tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
-        rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
-        sites = join_tmptmp(
-            chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
-        )
+
+        def per_chr(prefix, ext):
+            if prefix is None:
+                return None
+            if cfg.chr_list:
+                return [f"{prefix}_chr{c}{ext}" for c in chroms]
+            return [prefix]
+
+        # dispatch order mirrors the reference (coal.cpp:3175-3317)
+        if cfg.target_bcf and cfg.reference_bcf:
+            from colate_tpu.pipeline.join_vcf import join_vcfvcf
+
+            sites = join_vcfvcf(
+                chroms,
+                mut_files,
+                per_chr(cfg.target_bcf, ".bcf"),
+                per_chr(cfg.reference_bcf, ".bcf"),
+                tmask_files,
+                rmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                age,
+                ref_age,
+            )
+        elif cfg.target_tmp and cfg.reference_tmp:
+            mut_tables = [MutTable.read(f) for f in mut_files]
+            target = read_colate_in(cfg.target_tmp)
+            reference = read_colate_in(cfg.reference_tmp)
+            tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+            rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+            sites = join_tmptmp(
+                chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
+            )
+        else:
+            raise ValueError(
+                "mode mut needs one of: target_bcf+reference_bcf, "
+                "target_tmp+reference_tmp (more front-ends coming)"
+            )
         num_sites = len(sites)
         num_blocks = sites.num_blocks
         timings["parse"] = time.time() - t0
