@@ -220,6 +220,38 @@ class BamCursor:
             return self.counts[bp]
         return None
 
+    def drain_contig(self) -> None:
+        """Process every remaining record of the current contig.
+
+        Equivalent to issuing the mode-mut monotone ``read_to_pos``
+        queries: a read can only touch positions >= its start + 3, and
+        every read starting before ``query + 50k`` is consumed by the
+        reference at query time, so the counts/claims at any queried
+        position are identical whether the stream stops at the horizon
+        or runs to the contig end (htslib.cpp:426-436).  Leaves the
+        cursor on the first record of the next contig (unprocessed),
+        exactly where the reference's horizon-limited walk +
+        ``assign_contig`` seek would put it.
+        """
+        while not self.eof and self._match(self.chr):
+            if not self.read_entry():
+                break
+
+    def counts_at(self, bps: np.ndarray):
+        """Vectorised pileup lookup after :meth:`drain_contig`.
+
+        Returns (claimed[n] bool, counts[n,4] int64) for 0-based
+        positions ``bps`` (out-of-genome positions report unclaimed).
+        """
+        n = self.claimed.shape[0]
+        idx = np.clip(bps, 0, max(n - 1, 0))
+        ok = (bps >= 0) & (bps < n)
+        if n == 0:
+            return np.zeros(bps.shape, bool), np.zeros((bps.shape[0], 4), np.int64)
+        claimed = np.where(ok, self.claimed[idx], False)
+        counts = np.where(ok[:, None], self.counts[idx], 0)
+        return claimed, counts
+
     # -- deamination profile (htslib.cpp:440-486) ------------------------
     def read_deam(self, current_pos: int, stats: dict) -> bool:
         """stats holds 15-long int arrays: isC1/isC2/isCT1/isCT2/

@@ -116,6 +116,7 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 return [f"{prefix}_chr{c}{ext}" for c in chroms]
             return [prefix]
 
+        mc_hists = None  # fused split-mode parity histograms
         # dispatch order mirrors the reference (coal.cpp:3175-3317)
         if cfg.target_bcf and cfg.reference_bcf:
             from colate_tpu.pipeline.join_vcf import join_vcfvcf
@@ -131,6 +132,60 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 age,
                 ref_age,
             )
+        elif cfg.target_bcf:
+            from colate_tpu.pipeline.binning import MAX_BLOCKS
+            from colate_tpu.pipeline.join_vcf import join_vcf_split
+
+            split_rng = rng if parity else MT19937(seed)
+            if parity:
+                mc_hists = tuple(
+                    np.zeros((MAX_BLOCKS, nbins), np.float64) for _ in range(4)
+                )
+            sites = join_vcf_split(
+                chroms,
+                mut_files,
+                per_chr(cfg.target_bcf, ".bcf"),
+                tmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                split_rng,
+                age,
+                ref_age,
+                mc_hists=mc_hists,
+            )
+        elif cfg.target_bam and cfg.reference_bcf:
+            from colate_tpu.pipeline.join_bam import join_onebamvcf
+
+            if not cfg.ref_genome:
+                raise ValueError("mut with --target_bam requires --ref_genome")
+            sites = join_onebamvcf(
+                chroms,
+                mut_files,
+                cfg.target_bam + ".bam",  # coal.cpp:3228
+                per_chr(cfg.reference_bcf, ".bcf"),
+                tmask_files,
+                rmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                params=cfg.filters,
+                age=age,
+                ref_age=ref_age,
+            )
+        elif cfg.target_bam and cfg.reference_bam:
+            from colate_tpu.pipeline.join_bam import join_onebambam
+
+            if not cfg.ref_genome:
+                raise ValueError("mut with --target_bam requires --ref_genome")
+            sites = join_onebambam(
+                chroms,
+                mut_files,
+                cfg.target_bam,  # used as-is (coal.cpp:3262)
+                cfg.reference_bam,
+                tmask_files,
+                rmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                params=cfg.filters,
+                age=age,
+                ref_age=ref_age,
+            )
         elif cfg.target_tmp and cfg.reference_tmp:
             mut_tables = [MutTable.read(f) for f in mut_files]
             target = read_colate_in(cfg.target_tmp)
@@ -142,16 +197,19 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
             )
         else:
             raise ValueError(
-                "mode mut needs one of: target_bcf+reference_bcf, "
-                "target_tmp+reference_tmp (more front-ends coming)"
+                "mode mut needs target_bcf [+reference_bcf], "
+                "target_bam+reference_bcf, target_bam+reference_bam, or "
+                "target_tmp+reference_tmp"
             )
         num_sites = len(sites)
         num_blocks = sites.num_blocks
         timings["parse"] = time.time() - t0
 
         t0 = time.time()
-        # tmp-mode parse forces age=0 (coal.cpp:2073-2074)
-        if parity:
+        # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
+        if mc_hists is not None:  # split-mode parity: already binned fused
+            sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
+        elif parity:
             sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
         else:
             sh_b, ns_b, se_b, ne_b = bin_sites_analytic(sites, age=0.0)

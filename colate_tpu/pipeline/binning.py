@@ -188,6 +188,51 @@ def _bin_analytic_jit(*args):
     return _bin_analytic_cache(*args)
 
 
+def mc_bin_site(
+    shared, notshared, shared_emp, notshared_emp,
+    blk: int, ab: float, ae: float, ws: float, wn: float,
+    rng: MT19937, age: float = 0.0,
+    ws_mc: float | None = None, wn_mc: float | None = None,
+) -> None:
+    """Replay the reference's per-site sampling (coal.cpp:2244-2298) into
+    preallocated [>=blk+1, num_age_bins] histograms, consuming `rng` in
+    the reference's exact order.
+
+    ws_mc/wn_mc are the per-draw weights in the reference's exact fp
+    grouping x*DAF_ref/(N_ref*100.0); they default to ws/100 (one extra
+    rounding — only visible under exact cancellation)."""
+    nbins = NUM_AGE_BINS
+    if ws_mc is None:
+        ws_mc = ws / NUM_MC_SAMPLES
+    if wn_mc is None:
+        wn_mc = wn / NUM_MC_SAMPLES
+    if ab <= age:
+        bin2 = int(bin_of_age(ae))
+        shared_emp[blk, bin2] += ws
+        notshared_emp[blk, bin2] += wn
+        # 100 unconditional draws over [ab, ae] (ab<=age), clamped up to age
+        u = rng.uniform01(NUM_MC_SAMPLES)
+        t = u * (ae - ab) + ab
+        t = np.maximum(t, age)
+        b = bin_of_age(t)
+        np.add.at(notshared[blk], b, wn_mc)
+    else:
+        accepted = 0
+        while accepted < NUM_MC_SAMPLES:
+            u = rng.uniform01(NUM_MC_SAMPLES - accepted)
+            t = u * (ae - ab) + ab
+            with np.errstate(divide="ignore"):
+                raw_bin = (
+                    np.floor(np.log(10.0 * np.maximum(t, 1e-300)) * 10.0 + 0.5)
+                ).astype(np.int64) + 1
+            raw_bin = np.where(t > 0, np.maximum(raw_bin, 0), 0)
+            keep = (t >= age) & (raw_bin < nbins)
+            b = raw_bin[keep]
+            np.add.at(shared[blk], b, ws_mc)
+            np.add.at(notshared[blk], b, wn_mc)
+            accepted += int(keep.sum())
+
+
 def bin_sites_mc_parity(sites: JoinedSites, rng: MT19937, age: float = 0.0):
     """Bit-exact replay of the reference's sampling loop (coal.cpp:2244-2298).
 
@@ -202,36 +247,12 @@ def bin_sites_mc_parity(sites: JoinedSites, rng: MT19937, age: float = 0.0):
     shared_emp = np.zeros((nb, nbins), np.float64)
     notshared_emp = np.zeros((nb, nbins), np.float64)
 
-    n = len(sites)
-    for i in range(n):
-        ab = sites.age_begin[i]
-        ae = sites.age_end[i]
-        ws = sites.w_shared[i]
-        wn = sites.w_notshared[i]
-        blk = sites.block_id[i]
-        if ab <= age:
-            bin2 = int(bin_of_age(ae))
-            shared_emp[blk, bin2] += ws
-            notshared_emp[blk, bin2] += wn
-            # 100 unconditional draws over [ab, ae] (ab<=age), clamped up to age
-            u = rng.uniform01(NUM_MC_SAMPLES)
-            t = u * (ae - ab) + ab
-            t = np.maximum(t, age)
-            b = bin_of_age(t)
-            np.add.at(notshared[blk], b, wn / NUM_MC_SAMPLES)
-        else:
-            accepted = 0
-            while accepted < NUM_MC_SAMPLES:
-                u = rng.uniform01(NUM_MC_SAMPLES - accepted)
-                t = u * (ae - ab) + ab
-                with np.errstate(divide="ignore"):
-                    raw_bin = (
-                        np.floor(np.log(10.0 * np.maximum(t, 1e-300)) * 10.0 + 0.5)
-                    ).astype(np.int64) + 1
-                raw_bin = np.where(t > 0, np.maximum(raw_bin, 0), 0)
-                keep = (t >= age) & (raw_bin < nbins)
-                b = raw_bin[keep]
-                np.add.at(shared[blk], b, ws / NUM_MC_SAMPLES)
-                np.add.at(notshared[blk], b, wn / NUM_MC_SAMPLES)
-                accepted += int(keep.sum())
+    ws_mc, wn_mc = sites.mc_weights()
+    for i in range(len(sites)):
+        mc_bin_site(
+            shared, notshared, shared_emp, notshared_emp,
+            int(sites.block_id[i]), sites.age_begin[i], sites.age_end[i],
+            sites.w_shared[i], sites.w_notshared[i], rng, age,
+            ws_mc=ws_mc[i], wn_mc=wn_mc[i],
+        )
     return shared, notshared, shared_emp, notshared_emp

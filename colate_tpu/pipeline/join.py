@@ -46,9 +46,23 @@ class JoinedSites:
     w_notshared: np.ndarray  # float64: f_AAF_target * DAF_ref / N_ref
     block_id: np.ndarray  # int32 global block index
     num_blocks: int
+    # per-MC-draw weights with the reference's exact fp grouping
+    # x*DAF_ref/(N_ref*100) — NOT (x*DAF_ref/N_ref)/100, which rounds
+    # differently (bit-parity only; analytic binning uses w_* directly)
+    w_shared_mc: np.ndarray | None = None
+    w_notshared_mc: np.ndarray | None = None
 
     def __len__(self) -> int:
         return int(self.age_begin.shape[0])
+
+    def mc_weights(self) -> tuple[np.ndarray, np.ndarray]:
+        ws = self.w_shared_mc if self.w_shared_mc is not None else self.w_shared / 100.0
+        wn = (
+            self.w_notshared_mc
+            if self.w_notshared_mc is not None
+            else self.w_notshared / 100.0
+        )
+        return ws, wn
 
 
 @dataclasses.dataclass
@@ -161,6 +175,8 @@ def join_tmptmp(
     out_ae: list[np.ndarray] = []
     out_ws: list[np.ndarray] = []
     out_wn: list[np.ndarray] = []
+    out_wsm: list[np.ndarray] = []
+    out_wnm: list[np.ndarray] = []
     out_blk: list[np.ndarray] = []
     block_offset = 0
 
@@ -222,6 +238,9 @@ def join_tmptmp(
             out_ae.append(ae)
             out_ws.append(f_daf * daf_ref / n_ref)
             out_wn.append(f_aaf * daf_ref / n_ref)
+            # reference grouping: f * DAF_ref / (N_ref * 100.0) (coal.cpp:2291)
+            out_wsm.append(f_daf * daf_ref / (n_ref * 100.0))
+            out_wnm.append(f_aaf * daf_ref / (n_ref * 100.0))
             out_blk.append(blk + block_offset)
             last_blk = int(blk[-1])
         else:
@@ -237,6 +256,8 @@ def join_tmptmp(
             w_notshared=np.concatenate(out_wn),
             block_id=np.concatenate(out_blk).astype(np.int32),
             num_blocks=block_offset,
+            w_shared_mc=np.concatenate(out_wsm),
+            w_notshared_mc=np.concatenate(out_wnm),
         )
     return JoinedSites(
         age_begin=np.zeros(0),

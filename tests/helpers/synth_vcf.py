@@ -15,8 +15,15 @@ def make_vcf_for_mut(
     seed: int,
     n_samples: int = 3,
     p_present: float = 0.75,
+    present_head: int = 0,
 ):
-    """Write a text VCF covering a subset of mut sites with varied cases."""
+    """Write a text VCF covering a subset of mut sites with varied cases.
+
+    ``present_head`` forces the first rows to be present: the oracle's
+    absent-site fallback reads an *uninitialised* N_ref before the first
+    allele-matching record (coal.cpp:1648-1656), so parity there is
+    undefined behaviour — fixtures must not create leading absent sites.
+    """
     g = np.random.default_rng(seed)
     lines = [
         "##fileformat=VCFv4.2",
@@ -28,7 +35,7 @@ def make_vcf_for_mut(
     anc = mt.anc_allele
     der = mt.der_allele
     for i in range(len(mt)):
-        if g.random() > p_present:
+        if g.random() > p_present and i >= present_head:
             continue
         a, d = anc[i], der[i]
         if len(a) != 1 or len(d) != 1:

@@ -129,6 +129,48 @@ def test_mut_vcfvcf_golden(oracle, vcf_fixture, tmp_path, with_genome):
 
 
 @pytest.mark.oracle
+@pytest.mark.parametrize("with_genome", [False, True])
+def test_mut_vcf_split_golden(oracle, vcf_fixture, tmp_path, with_genome):
+    """mode mut from ONE BCF with random haplotype half-split (parse_vcf)."""
+    from colate_tpu.config import MutRunConfig
+    from colate_tpu.formats.coal import CoalFile
+    from colate_tpu.models.mut_em import run_mut_and_write
+
+    fix = vcf_fixture
+    cmd = [
+        oracle, "--mode", "mut",
+        "--mut", fix["mut_prefix"],
+        "--target_bcf", fix["vcf_prefix"],
+        "--chr", fix["chrfile"],
+        "--bins", "3,7,0.2",
+        "--seed", "29",
+        "-o", str(tmp_path / "ref_out"),
+    ]
+    if with_genome:
+        cmd += ["--ref_genome", fix["rg_prefix"]]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    cfg = MutRunConfig(
+        mut=fix["mut_prefix"],
+        output=str(tmp_path / "our_out"),
+        chr_list=fix["chroms"],
+        target_bcf=fix["vcf_prefix"],
+        ref_genome=fix["rg_prefix"] if with_genome else None,
+        bins="3,7,0.2",
+        seed=29,
+        sampling="mc_parity",
+    )
+    run_mut_and_write(cfg)
+    ref = CoalFile.read(str(tmp_path / "ref_out.coal"))
+    ours = CoalFile.read(str(tmp_path / "our_out.coal"))
+    np.testing.assert_allclose(ours.rates, ref.rates, rtol=1e-5, atol=1e-12)
+    with open(tmp_path / "ref_out.colate_mat") as fh:
+        ref_mat = fh.read()
+    with open(tmp_path / "our_out.colate_mat") as fh:
+        our_mat = fh.read()
+    assert our_mat == ref_mat
+
+
+@pytest.mark.oracle
 def test_preprocess_mut_golden(oracle, tmp_path):
     from types import SimpleNamespace
 
