@@ -39,6 +39,52 @@ class SiteStream:
 
 
 def read_colate_in(path: str) -> SiteStream:
+    try:
+        s = _read_colate_in_native(path)
+        if s is not None:
+            return s
+    except Exception:
+        pass
+    return _read_colate_in_py(path)
+
+
+def _read_colate_in_native(path: str) -> SiteStream | None:
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    err = ctypes.create_string_buffer(512)
+    h = lib.cn_colatein_read(path.encode(), err, 512)
+    if not h:
+        raise ValueError(err.value.decode() or f"native read failed: {path}")
+    try:
+        col = lambda c, dt: native.col_array(lib, lib.cn_colatein_col, h, c, dt)
+        bp = col(0, np.int32)
+        anc = col(1, np.uint8)
+        der = col(2, np.uint8)
+        aaf = col(3, np.int32)
+        daf = col(4, np.int32)
+        run_len = col(5, np.int64)
+        blob = col(6, np.uint8).tobytes()
+        off = col(7, np.uint64)
+    finally:
+        lib.cn_colatein_free(h)
+    chroms = [
+        np.full(
+            int(run_len[i]),
+            blob[int(off[i]) : int(off[i + 1])].decode("ascii"),
+            dtype=object,
+        )
+        for i in range(run_len.shape[0])
+    ]
+    chrom = np.concatenate(chroms) if chroms else np.zeros(0, object)
+    return SiteStream(chrom=chrom, bp=bp, anc=anc, der=der, aaf=aaf, daf=daf)
+
+
+def _read_colate_in_py(path: str) -> SiteStream:
     raw = np.fromfile(path, dtype=np.uint8)
     n = raw.size
     chroms: list[np.ndarray] = []

@@ -36,6 +36,12 @@ class MutTable:
     age_end: np.ndarray  # float64
     mutation_type: np.ndarray  # object, "A/C" style
     rest: np.ndarray  # object — unparsed tail (upstream;downstream;freqs)
+    # precomputed allele codes (native reader): uint8 first chars + the
+    # mode-mut validity mask (coal.cpp:2150-2176); None → compute from
+    # mutation_type strings (pipeline.join._allele_codes)
+    anc_code: np.ndarray | None = None
+    der_code: np.ndarray | None = None
+    allele_valid: np.ndarray | None = None
 
     def __len__(self) -> int:
         return int(self.pos.shape[0])
@@ -59,12 +65,19 @@ class MutTable:
     def read(cls, path: str, fast: bool = True) -> "MutTable":
         """Load a .mut file.
 
-        fast=True parses the 11 leading columns with pandas' C engine
-        (~20x faster on multi-million-row files); the unparsed tail
-        (upstream/downstream/freq) is preserved only by the slow path,
-        which writers needing full fidelity should request.
+        fast=True parses via the native C++ decoder (colate_tpu.native)
+        when available, else the 11 leading columns with pandas' C
+        engine; the slow pure-Python path is the reference-grammar
+        fallback and the only one writers needing full `rest` fidelity
+        via pandas should request (the native path preserves `rest`).
         """
         if fast:
+            try:
+                t = cls._read_native(path)
+                if t is not None:
+                    return t
+            except Exception:
+                pass
             try:
                 return cls._read_fast(path)
             except Exception:
@@ -119,6 +132,63 @@ class MutTable:
             age_end=age_end,
             mutation_type=mtype,
             rest=rest,
+        )
+
+    @classmethod
+    def _read_native(cls, path: str) -> "MutTable | None":
+        import ctypes
+
+        from colate_tpu import native
+
+        lib = native.load()
+        if lib is None:
+            return None
+        err = ctypes.create_string_buffer(512)
+        h = lib.cn_mut_read(path.encode(), err, 512)
+        if not h:
+            raise ValueError(err.value.decode() or f"native .mut parse failed: {path}")
+        try:
+            col = lambda c, dt: native.col_array(lib, lib.cn_mut_col, h, c, dt)
+            n = int(lib.cn_mut_n(h))
+            snp_id = col(0, np.int64)
+            pos = col(1, np.int64)
+            dist = col(2, np.int64)
+            tree = col(3, np.int64)
+            flipped = col(4, np.int64)
+            nbr = col(5, np.int64)
+            branch_flat = col(6, np.int32)
+            branch_off = col(7, np.int64)
+            age_begin = col(8, np.float64)
+            age_end = col(9, np.float64)
+            anc_code = col(10, np.uint8)
+            der_code = col(11, np.uint8)
+            valid = col(12, np.uint8).astype(bool)
+            mtype = _LazyStrings(col(16, np.uint8), col(13, np.uint64))
+            rsid = _LazyStrings(col(14, np.uint8), col(15, np.uint64))
+            rest = _LazyStrings(col(17, np.uint8), col(18, np.uint64))
+            nb = ctypes.c_int64()
+            hp = lib.cn_mut_col(h, 19, ctypes.byref(nb))
+            header = ctypes.string_at(hp, nb.value).decode() if nb.value else ""
+        finally:
+            lib.cn_mut_free(h)
+        assert pos.shape[0] == n
+        return cls(
+            header=header,
+            snp_id=snp_id,
+            pos=pos,
+            dist=dist,
+            rs_id=rsid,
+            tree=tree,
+            branch=_FlatBranches(branch_flat, branch_off),
+            num_branches=nbr,
+            flipped=flipped,
+            age_begin=age_begin,
+            age_end=age_end,
+            mutation_type=mtype,
+            rest=rest,
+            anc_code=anc_code,
+            der_code=der_code,
+            allele_valid=valid,
         )
 
     @classmethod
@@ -219,6 +289,49 @@ class MutTable:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "wt") as fh:
             fh.write(out.getvalue())
+
+
+class _LazyStrings:
+    """List-like view over a native char blob + offsets, decoded lazily."""
+
+    def __init__(self, blob: np.ndarray, off: np.ndarray):
+        self._b = blob.tobytes()
+        self._off = off
+
+    def __len__(self) -> int:
+        return int(self._off.shape[0]) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self._b[self._off[i] : self._off[i + 1]].decode()
+        # fancy/slice indexing: materialise the selection as object array
+        idx = np.arange(len(self))[i]
+        return np.array([self[int(j)] for j in idx], dtype=object)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def materialize(self) -> np.ndarray:
+        return np.array([s for s in self], dtype=object)
+
+
+class _FlatBranches:
+    """List-like view over flattened branch ids + offsets."""
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray):
+        self._f = flat
+        self._off = off
+
+    def __len__(self) -> int:
+        return int(self._off.shape[0]) - 1
+
+    def __getitem__(self, i):
+        return self._f[self._off[i] : self._off[i + 1]].tolist()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 class _LazyBranches:

@@ -27,7 +27,7 @@ import numpy as np
 from colate_tpu.formats.colate_in import write_colate_in
 from colate_tpu.formats.fasta import read_fasta, read_mask
 from colate_tpu.formats.mut import MutTable
-from colate_tpu.pipeline.join import _allele_codes
+from colate_tpu.pipeline.join import allele_codes
 
 
 class _TableCursor:
@@ -75,7 +75,7 @@ def maketmp_table(
         if has_ref_genome:
             read_fasta(ref_genome_files[ci])  # loaded, only presence matters
 
-        anc_c, der_c, valid = _allele_codes(mt.mutation_type)
+        anc_c, der_c, valid = allele_codes(mt)
         cur.scan_chrom(chrom)
         for r in range(len(mt)):
             if mt.flipped[r] != 0 or mt.num_branches[r] != 1 or not valid[r]:

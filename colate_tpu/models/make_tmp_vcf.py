@@ -25,7 +25,7 @@ from colate_tpu.formats.colate_in import write_colate_in
 from colate_tpu.formats.fasta import read_fasta, read_mask
 from colate_tpu.formats.mut import MutTable
 from colate_tpu.formats.vcf import read_vcf
-from colate_tpu.pipeline.join import _allele_codes
+from colate_tpu.pipeline.join import allele_codes
 
 
 def maketmp_vcf(
@@ -42,7 +42,7 @@ def maketmp_vcf(
         vt = read_vcf(vcf_files[ci])
         mask = read_mask(mask_files[ci]) if mask_files else None
         ref_genome = read_fasta(ref_genome_files[ci]) if ref_genome_files else None
-        anc_c, der_c, valid = _allele_codes(mt.mutation_type)
+        anc_c, der_c, valid = allele_codes(mt)
 
         n_rec = len(vt)
         n_hap = vt.gt.shape[1]

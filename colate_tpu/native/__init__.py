@@ -1,0 +1,94 @@
+"""Native host-side I/O (C++, ctypes-bound).
+
+The reference's host layer is C++ (relate_lib text parsers, htslib
+binary decode); this package is its TPU-framework counterpart: flat
+columnar decoders compiled to ``libcolate_io.so`` and exposed through a
+minimal C ABI.  Loading is best-effort — if the shared library is
+missing we try one quiet in-tree build, and on any failure every
+consumer falls back to the pure-Python decoders so the framework stays
+functional on toolchain-less hosts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libcolate_io.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "io.cpp")
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO, "-lz",
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load():
+    """ctypes handle to the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        os.path.join(_HERE, "io.cpp")
+    ):
+        if not _build():
+            if os.environ.get("COLATE_NATIVE_REQUIRED"):
+                raise RuntimeError("native build failed and is required")
+            print(
+                "colate_tpu: native io build unavailable; using Python decoders",
+                file=sys.stderr,
+            )
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.cn_mut_read.restype = ctypes.c_void_p
+    lib.cn_mut_read.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.cn_mut_n.restype = ctypes.c_int64
+    lib.cn_mut_n.argtypes = [ctypes.c_void_p]
+    lib.cn_mut_col.restype = ctypes.c_void_p
+    lib.cn_mut_col.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_mut_free.argtypes = [ctypes.c_void_p]
+    lib.cn_colatein_read.restype = ctypes.c_void_p
+    lib.cn_colatein_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int
+    ]
+    lib.cn_colatein_n.restype = ctypes.c_int64
+    lib.cn_colatein_n.argtypes = [ctypes.c_void_p]
+    lib.cn_colatein_col.restype = ctypes.c_void_p
+    lib.cn_colatein_col.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_colatein_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def col_array(lib, getter, handle, col, dtype):
+    """Copy native column `col` out as a numpy array of `dtype`."""
+    import numpy as np
+
+    nb = ctypes.c_int64()
+    ptr = getter(handle, col, ctypes.byref(nb))
+    n = nb.value
+    if n < 0:
+        raise ValueError(f"bad native column id {col}")
+    if n == 0:
+        return np.zeros(0, dtype)
+    raw = ctypes.string_at(ptr, n)
+    return np.frombuffer(raw, dtype=dtype).copy()

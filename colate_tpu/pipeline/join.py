@@ -183,7 +183,7 @@ def join_tmptmp(
     for ci, chrom in enumerate(chrom_names):
         mt = mut_tables[ci]
         # --- pre-stream filters (coal.cpp:2150-2176) ---
-        anc_c, der_c, valid_alleles = _allele_codes(mt.mutation_type)
+        anc_c, der_c, valid_alleles = allele_codes(mt)
         keep = (
             (mt.flipped == 0)
             & (mt.num_branches == 1)
@@ -267,6 +267,14 @@ def join_tmptmp(
         block_id=np.zeros(0, np.int32),
         num_blocks=block_offset,
     )
+
+
+def allele_codes(mt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(anc uint8, der uint8, valid bool) for a MutTable, using the
+    native reader's precomputed codes when present."""
+    if mt.anc_code is not None:
+        return mt.anc_code, mt.der_code, mt.allele_valid
+    return _allele_codes(mt.mutation_type)
 
 
 def _allele_codes(mutation_type: np.ndarray):

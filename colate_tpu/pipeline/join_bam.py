@@ -48,7 +48,7 @@ from colate_tpu.formats.fasta import read_fasta, read_mask
 from colate_tpu.formats.mut import MutTable
 from colate_tpu.formats.vcf import read_vcf
 from colate_tpu.models.bam_pileup import BamCursor
-from colate_tpu.pipeline.join import JoinedSites, _allele_codes, _mask_pass
+from colate_tpu.pipeline.join import JoinedSites, _mask_pass, allele_codes
 from colate_tpu.pipeline.join_vcf import _cursor_index, _vcf_columns
 
 _BASE_COL = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
@@ -57,7 +57,7 @@ _BASE_COL = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
 def _filtered_rows(mt: MutTable, age: float, tmask, rmask):
     """Rows passing the shared pre-stream filters; returns (rows, pos,
     anc, der) with anc/der as uint8 codes."""
-    anc_c, der_c, valid = _allele_codes(mt.mutation_type)
+    anc_c, der_c, valid = allele_codes(mt)
     keep = (
         (mt.flipped == 0)
         & (mt.num_branches == 1)

@@ -38,7 +38,7 @@ from colate_tpu.config import NUM_BASES_PER_BLOCK
 from colate_tpu.formats.fasta import read_fasta, read_mask
 from colate_tpu.formats.mut import MutTable
 from colate_tpu.formats.vcf import VcfTable, read_vcf
-from colate_tpu.pipeline.join import JoinedSites, _allele_codes, _mask_pass
+from colate_tpu.pipeline.join import JoinedSites, _mask_pass, allele_codes
 
 
 def _single_char_codes(strings: np.ndarray) -> np.ndarray:
@@ -140,7 +140,7 @@ def join_vcf_split(
             else None
         )
 
-        anc_c, der_c, valid = _allele_codes(mt.mutation_type)
+        anc_c, der_c, valid = allele_codes(mt)
         keep = (
             (mt.flipped == 0)
             & (mt.num_branches == 1)
@@ -360,7 +360,7 @@ def join_vcfvcf(
             else None
         )
 
-        anc_c, der_c, valid = _allele_codes(mt.mutation_type)
+        anc_c, der_c, valid = allele_codes(mt)
         keep = (
             (mt.flipped == 0)
             & (mt.num_branches == 1)

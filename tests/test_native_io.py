@@ -1,0 +1,80 @@
+"""Native C++ decoders must agree exactly with the pure-Python readers."""
+
+import numpy as np
+import pytest
+
+from colate_tpu import native
+from colate_tpu.formats.colate_in import _read_colate_in_py, write_colate_in
+from colate_tpu.formats.mut import MutTable
+from helpers.synth import make_mut
+
+pytestmark = pytest.mark.skipif(
+    native.load() is None, reason="native library unavailable"
+)
+
+
+def test_mut_native_matches_python(tmp_path):
+    path = str(tmp_path / "t.mut")
+    make_mut(path, 500, seed=3, chrom_span=50_000, dirty=True)
+    a = MutTable._read_native(path)
+    b = MutTable.read(path, fast=False)  # reference-grammar line parser
+    assert a is not None
+    assert len(a) == len(b)
+    assert a.header == b.header
+    for c in ("snp_id", "pos", "dist", "tree", "flipped", "num_branches",
+              "age_begin", "age_end"):
+        np.testing.assert_array_equal(getattr(a, c), getattr(b, c), err_msg=c)
+    for i in range(len(a)):
+        assert a.mutation_type[i] == b.mutation_type[i]
+        assert a.rs_id[i] == b.rs_id[i]
+        assert a.branch[i] == b.branch[i]
+        assert a.rest[i] == b.rest[i]
+    from colate_tpu.pipeline.join import _allele_codes
+
+    anc_p, der_p, val_p = _allele_codes(b.mutation_type)
+    np.testing.assert_array_equal(a.anc_code, anc_p)
+    np.testing.assert_array_equal(a.der_code, der_p)
+    np.testing.assert_array_equal(a.allele_valid, val_p)
+
+
+def test_mut_native_gz_fallback(tmp_path):
+    import gzip
+
+    path = str(tmp_path / "t.mut")
+    make_mut(path, 50, seed=4, chrom_span=5_000)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    with gzip.open(path + ".gz", "wb") as fh:
+        fh.write(data)
+    import os
+
+    os.remove(path)
+    a = MutTable._read_native(path)  # resolves t.mut.gz like the reference
+    assert a is not None and len(a) == 50
+
+
+def test_colate_in_native_matches_python(tmp_path):
+    g = np.random.default_rng(9)
+    n = 2000
+    chrom = np.concatenate(
+        [np.full(800, "1", object), np.full(700, "X", object),
+         np.full(500, "22", object)]
+    )
+    bp = np.sort(g.integers(1, 1_000_000, n)).astype(np.int32)
+    anc = g.choice(np.frombuffer(b"ACGT", np.uint8), n)
+    der = g.choice(np.frombuffer(b"ACGT", np.uint8), n)
+    aaf = g.integers(0, 30, n).astype(np.int32)
+    daf = g.integers(0, 30, n).astype(np.int32)
+    path = str(tmp_path / "x.colate.in")
+    write_colate_in(path, chrom, bp, anc, der, aaf, daf)
+    from colate_tpu.formats.colate_in import _read_colate_in_native
+
+    a = _read_colate_in_native(path)
+    b = _read_colate_in_py(path)
+    assert a is not None
+    np.testing.assert_array_equal(a.bp, b.bp)
+    np.testing.assert_array_equal(a.anc, b.anc)
+    np.testing.assert_array_equal(a.der, b.der)
+    np.testing.assert_array_equal(a.aaf, b.aaf)
+    np.testing.assert_array_equal(a.daf, b.daf)
+    assert list(a.chrom) == list(b.chrom)
