@@ -187,9 +187,18 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 ref_age=ref_age,
             )
         elif cfg.target_tmp and cfg.reference_tmp:
-            mut_tables = [MutTable.read(f) for f in mut_files]
-            target = read_colate_in(cfg.target_tmp)
-            reference = read_colate_in(cfg.reference_tmp)
+            # the decoders are independent native calls (GIL released):
+            # overlap the per-chromosome .mut parses and the two site
+            # streams on host threads
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                fut_mut = [ex.submit(MutTable.read, f) for f in mut_files]
+                fut_t = ex.submit(read_colate_in, cfg.target_tmp)
+                fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
+                mut_tables = [f.result() for f in fut_mut]
+                target = fut_t.result()
+                reference = fut_r.result()
             tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
             rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
             sites = join_tmptmp(

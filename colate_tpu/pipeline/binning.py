@@ -79,8 +79,11 @@ def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
         ae = np.concatenate([sites.age_end[lo:hi], np.full(pad, 2.0)])
         ws = np.concatenate([sites.w_shared[lo:hi], np.zeros(pad)])
         wn = np.concatenate([sites.w_notshared[lo:hi], np.zeros(pad)])
+        # zero-weight padding keeps block ids nondecreasing (block_id is
+        # globally sorted by construction) so the device segment-sum can
+        # use the sorted fast path
         blk = np.concatenate(
-            [sites.block_id[lo:hi], np.zeros(pad, np.int32)]
+            [sites.block_id[lo:hi], np.full(pad, MAX_BLOCKS - 1, np.int32)]
         ).astype(np.int32)
         out = _bin_analytic_jit(ab, ae, ws, wn, blk, MAX_BLOCKS, float(age))
         if acc is None:
@@ -144,12 +147,16 @@ def _make_bin_analytic():
         w_n_emp = jnp.where(is_emp, w_notshared, 0.0)
 
         shared_hist = jax.ops.segment_sum(
-            p * (w_s[:, None]), block_id, num_segments=num_blocks
+            p * (w_s[:, None]),
+            block_id,
+            num_segments=num_blocks,
+            indices_are_sorted=True,
         )
         notshared_hist = jax.ops.segment_sum(
             p * (w_n_reg[:, None]) + p_emp * (w_n_emp[:, None]),
             block_id,
             num_segments=num_blocks,
+            indices_are_sorted=True,
         )
 
         # --- emp matrices: keyed by bin(age_end), full site weight ---
