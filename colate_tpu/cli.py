@@ -59,6 +59,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    default="analytic",
                    help="age-histogram mode: analytic expectation (default) "
                         "or bit-exact replay of the reference's MC draws")
+    p.add_argument("--em_dtype", choices=["auto", "float64", "float32"],
+                   default="auto",
+                   help="EM working precision (auto: f64 on CPU/parity, "
+                        "f32 on TPU analytic runs)")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="cache per-block histograms to <output>.suffstats.npz "
+                        "keyed by an input fingerprint; reruns skip "
+                        "parse+binning (analytic mode)")
     return p
 
 
@@ -99,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             filters=args.filters,
             sampling=args.sampling,
+            em_dtype=args.em_dtype,
+            checkpoint=args.checkpoint,
         )
         run_mut_and_write(cfg)
         return 0

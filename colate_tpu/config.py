@@ -111,4 +111,9 @@ class MutRunConfig:
     filters: str = "20,30,10"
     # engine extensions (not in the reference)
     sampling: str = "analytic"  # "analytic" | "mc_parity"
-    em_dtype: str = "float64"
+    # EM working precision: "auto" = f64 on CPU / parity runs (reference
+    # numerics), f32 on TPU analytic runs (f64 is emulated on TPU)
+    em_dtype: str = "auto"  # "auto" | "float64" | "float32"
+    # engine-level resume: cache the per-block histograms keyed by an
+    # input fingerprint (utils/checkpoint.py); analytic mode only
+    checkpoint: bool = False

@@ -37,6 +37,27 @@ class SiteStream:
     def __len__(self) -> int:
         return int(self.bp.shape[0])
 
+    # populated by the native reader (run-length already known); lazily
+    # derived from `chrom` otherwise
+    _runs_cache: tuple | None = None
+
+    def runs(self) -> tuple[np.ndarray, list[str]]:
+        """Run-length chromosome encoding: (starts [R+1] int64, names [R]).
+
+        Adjacent equal-name runs are merged; the cursor walk in
+        pipeline.join uses this to scan chromosomes in O(runs) instead of
+        O(records)."""
+        if self._runs_cache is not None:
+            return self._runs_cache
+        n = len(self)
+        if n == 0:
+            return np.zeros(1, np.int64), []
+        change = np.nonzero(self.chrom[1:] != self.chrom[:-1])[0] + 1
+        starts = np.concatenate([[0], change, [n]]).astype(np.int64)
+        names = [str(self.chrom[int(s)]) for s in starts[:-1]]
+        self._runs_cache = (starts, names)
+        return self._runs_cache
+
 
 def read_colate_in(path: str) -> SiteStream:
     try:
@@ -72,16 +93,50 @@ def _read_colate_in_native(path: str) -> SiteStream | None:
         off = col(7, np.uint64)
     finally:
         lib.cn_colatein_free(h)
+    names = [
+        blob[int(off[i]) : int(off[i + 1])].decode("ascii")
+        for i in range(run_len.shape[0])
+    ]
     chroms = [
-        np.full(
-            int(run_len[i]),
-            blob[int(off[i]) : int(off[i + 1])].decode("ascii"),
-            dtype=object,
-        )
+        np.full(int(run_len[i]), names[i], dtype=object)
         for i in range(run_len.shape[0])
     ]
     chrom = np.concatenate(chroms) if chroms else np.zeros(0, object)
-    return SiteStream(chrom=chrom, bp=bp, anc=anc, der=der, aaf=aaf, daf=daf)
+    s = SiteStream(chrom=chrom, bp=bp, anc=anc, der=der, aaf=aaf, daf=daf)
+    # run structure is already known — cache it (merging adjacent equals)
+    m_starts = [0]
+    m_names: list[str] = []
+    pos = 0
+    for i, name in enumerate(names):
+        if m_names and m_names[-1] == name:
+            pos += int(run_len[i])
+            m_starts[-1] = pos + int(run_len[i]) * 0  # extend current run
+            continue
+        m_names.append(name)
+        pos += int(run_len[i])
+        m_starts.append(pos)
+    if not m_names:
+        m_starts = [0]
+    else:
+        m_starts = np.cumsum([0] + [0] * 0).tolist() and m_starts
+    # recompute starts robustly
+    starts = [0]
+    cur = None
+    total = 0
+    for i, name in enumerate(names):
+        if cur is not None and name != cur:
+            starts.append(total)
+        cur = name
+        total += int(run_len[i])
+    starts.append(total)
+    merged_names = []
+    cur = None
+    for name in names:
+        if name != cur:
+            merged_names.append(name)
+            cur = name
+    s._runs_cache = (np.asarray(starts, np.int64), merged_names)
+    return s
 
 
 def _read_colate_in_py(path: str) -> SiteStream:

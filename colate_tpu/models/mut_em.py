@@ -116,113 +116,143 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 return [f"{prefix}_chr{c}{ext}" for c in chroms]
             return [prefix]
 
-        mc_hists = None  # fused split-mode parity histograms
-        # dispatch order mirrors the reference (coal.cpp:3175-3317)
-        if cfg.target_bcf and cfg.reference_bcf:
-            from colate_tpu.pipeline.join_vcf import join_vcfvcf
+        ckpt = None
+        ckpt_fp = None
+        ckpt_path = cfg.output + ".suffstats.npz"
+        if cfg.checkpoint and not parity:
+            # engine-level resume (generalised .colate_mat cache): skip
+            # parse+binning when the inputs are unchanged
+            from colate_tpu.utils.checkpoint import input_fingerprint, load_suffstats
 
-            sites = join_vcfvcf(
-                chroms,
-                mut_files,
-                per_chr(cfg.target_bcf, ".bcf"),
-                per_chr(cfg.reference_bcf, ".bcf"),
-                tmask_files,
-                rmask_files,
-                per_chr(cfg.ref_genome, ".fa"),
-                age,
-                ref_age,
+            ckpt_fp = input_fingerprint(
+                list(mut_files)
+                + list(tmask_files or [])
+                + list(rmask_files or [])
+                + [cfg.target_tmp, cfg.reference_tmp, cfg.target_bcf,
+                   cfg.reference_bcf, cfg.target_bam, cfg.reference_bam,
+                   cfg.ref_genome],
+                extra=dict(age=age, ref_age=ref_age),
             )
-        elif cfg.target_bcf:
-            from colate_tpu.pipeline.binning import MAX_BLOCKS
-            from colate_tpu.pipeline.join_vcf import join_vcf_split
+            ckpt = load_suffstats(ckpt_path, ckpt_fp)
+        if ckpt is not None:
+            sh_b, ns_b, se_b, ne_b, num_sites = ckpt
+            num_blocks = sh_b.shape[0]
+            timings["parse"] = time.time() - t0
+            timings["binning"] = 0.0
+        else:
+            mc_hists = None  # fused split-mode parity histograms
+            # dispatch order mirrors the reference (coal.cpp:3175-3317)
+            if cfg.target_bcf and cfg.reference_bcf:
+                from colate_tpu.pipeline.join_vcf import join_vcfvcf
 
-            split_rng = rng if parity else MT19937(seed)
-            if parity:
-                mc_hists = tuple(
-                    np.zeros((MAX_BLOCKS, nbins), np.float64) for _ in range(4)
+                sites = join_vcfvcf(
+                    chroms,
+                    mut_files,
+                    per_chr(cfg.target_bcf, ".bcf"),
+                    per_chr(cfg.reference_bcf, ".bcf"),
+                    tmask_files,
+                    rmask_files,
+                    per_chr(cfg.ref_genome, ".fa"),
+                    age,
+                    ref_age,
                 )
-            sites = join_vcf_split(
-                chroms,
-                mut_files,
-                per_chr(cfg.target_bcf, ".bcf"),
-                tmask_files,
-                per_chr(cfg.ref_genome, ".fa"),
-                split_rng,
-                age,
-                ref_age,
-                mc_hists=mc_hists,
-            )
-        elif cfg.target_bam and cfg.reference_bcf:
-            from colate_tpu.pipeline.join_bam import join_onebamvcf
+            elif cfg.target_bcf:
+                from colate_tpu.pipeline.binning import MAX_BLOCKS
+                from colate_tpu.pipeline.join_vcf import join_vcf_split
 
-            if not cfg.ref_genome:
-                raise ValueError("mut with --target_bam requires --ref_genome")
-            sites = join_onebamvcf(
-                chroms,
-                mut_files,
-                cfg.target_bam + ".bam",  # coal.cpp:3228
-                per_chr(cfg.reference_bcf, ".bcf"),
-                tmask_files,
-                rmask_files,
-                per_chr(cfg.ref_genome, ".fa"),
-                params=cfg.filters,
-                age=age,
-                ref_age=ref_age,
-            )
-        elif cfg.target_bam and cfg.reference_bam:
-            from colate_tpu.pipeline.join_bam import join_onebambam
+                split_rng = rng if parity else MT19937(seed)
+                if parity:
+                    mc_hists = tuple(
+                        np.zeros((MAX_BLOCKS, nbins), np.float64) for _ in range(4)
+                    )
+                sites = join_vcf_split(
+                    chroms,
+                    mut_files,
+                    per_chr(cfg.target_bcf, ".bcf"),
+                    tmask_files,
+                    per_chr(cfg.ref_genome, ".fa"),
+                    split_rng,
+                    age,
+                    ref_age,
+                    mc_hists=mc_hists,
+                )
+            elif cfg.target_bam and cfg.reference_bcf:
+                from colate_tpu.pipeline.join_bam import join_onebamvcf
 
-            if not cfg.ref_genome:
-                raise ValueError("mut with --target_bam requires --ref_genome")
-            sites = join_onebambam(
-                chroms,
-                mut_files,
-                cfg.target_bam,  # used as-is (coal.cpp:3262)
-                cfg.reference_bam,
-                tmask_files,
-                rmask_files,
-                per_chr(cfg.ref_genome, ".fa"),
-                params=cfg.filters,
-                age=age,
-                ref_age=ref_age,
-            )
-        elif cfg.target_tmp and cfg.reference_tmp:
-            # the decoders are independent native calls (GIL released):
-            # overlap the per-chromosome .mut parses and the two site
-            # streams on host threads
-            from concurrent.futures import ThreadPoolExecutor
+                if not cfg.ref_genome:
+                    raise ValueError("mut with --target_bam requires --ref_genome")
+                sites = join_onebamvcf(
+                    chroms,
+                    mut_files,
+                    cfg.target_bam + ".bam",  # coal.cpp:3228
+                    per_chr(cfg.reference_bcf, ".bcf"),
+                    tmask_files,
+                    rmask_files,
+                    per_chr(cfg.ref_genome, ".fa"),
+                    params=cfg.filters,
+                    age=age,
+                    ref_age=ref_age,
+                )
+            elif cfg.target_bam and cfg.reference_bam:
+                from colate_tpu.pipeline.join_bam import join_onebambam
 
-            with ThreadPoolExecutor(max_workers=8) as ex:
-                fut_mut = [ex.submit(MutTable.read, f) for f in mut_files]
-                fut_t = ex.submit(read_colate_in, cfg.target_tmp)
-                fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
-                mut_tables = [f.result() for f in fut_mut]
-                target = fut_t.result()
-                reference = fut_r.result()
-            tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
-            rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
-            sites = join_tmptmp(
-                chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
-            )
-        else:
-            raise ValueError(
-                "mode mut needs target_bcf [+reference_bcf], "
-                "target_bam+reference_bcf, target_bam+reference_bam, or "
-                "target_tmp+reference_tmp"
-            )
-        num_sites = len(sites)
-        num_blocks = sites.num_blocks
-        timings["parse"] = time.time() - t0
+                if not cfg.ref_genome:
+                    raise ValueError("mut with --target_bam requires --ref_genome")
+                sites = join_onebambam(
+                    chroms,
+                    mut_files,
+                    cfg.target_bam,  # used as-is (coal.cpp:3262)
+                    cfg.reference_bam,
+                    tmask_files,
+                    rmask_files,
+                    per_chr(cfg.ref_genome, ".fa"),
+                    params=cfg.filters,
+                    age=age,
+                    ref_age=ref_age,
+                )
+            elif cfg.target_tmp and cfg.reference_tmp:
+                # the decoders are independent native calls (GIL released):
+                # overlap the per-chromosome .mut parses and the two site
+                # streams on host threads
+                from concurrent.futures import ThreadPoolExecutor
 
-        t0 = time.time()
-        # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
-        if mc_hists is not None:  # split-mode parity: already binned fused
-            sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
-        elif parity:
-            sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
-        else:
-            sh_b, ns_b, se_b, ne_b = bin_sites_analytic(sites, age=0.0)
-        timings["binning"] = time.time() - t0
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    fut_mut = [ex.submit(MutTable.read, f) for f in mut_files]
+                    fut_t = ex.submit(read_colate_in, cfg.target_tmp)
+                    fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
+                    mut_tables = [f.result() for f in fut_mut]
+                    target = fut_t.result()
+                    reference = fut_r.result()
+                tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+                rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+                sites = join_tmptmp(
+                    chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
+                )
+            else:
+                raise ValueError(
+                    "mode mut needs target_bcf [+reference_bcf], "
+                    "target_bam+reference_bcf, target_bam+reference_bam, or "
+                    "target_tmp+reference_tmp"
+                )
+            num_sites = len(sites)
+            num_blocks = sites.num_blocks
+            timings["parse"] = time.time() - t0
+
+            t0 = time.time()
+            # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
+            if mc_hists is not None:  # split-mode parity: already binned fused
+                sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
+            elif parity:
+                sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
+            else:
+                sh_b, ns_b, se_b, ne_b = bin_sites_analytic(sites, age=0.0)
+            timings["binning"] = time.time() - t0
+            if ckpt_fp is not None:
+                from colate_tpu.utils.checkpoint import save_suffstats
+
+                save_suffstats(
+                    ckpt_path, ckpt_fp, sh_b, ns_b, se_b, ne_b, num_sites
+                )
 
         t0 = time.time()
         weights = bootstrap_weights(B, num_blocks, rng=rng, seed=seed)
@@ -250,11 +280,21 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
 
     # ---- EM ----
     t0 = time.time()
+    em_dtype = cfg.em_dtype
+    if em_dtype == "auto":
+        import jax
+
+        em_dtype = (
+            "float64"
+            if (parity or jax.default_backend() == "cpu")
+            else "float32"
+        )
     rates, logl, iters = run_em(
         jnp.asarray(epochs),
         jnp.asarray(init_rates),
         jnp.asarray(shared_counts),
         jnp.asarray(notshared_counts),
+        dtype=em_dtype,
     )
     rates = np.asarray(rates)
     logl = np.asarray(logl)

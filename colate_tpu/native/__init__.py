@@ -75,6 +75,24 @@ def load():
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
     ]
     lib.cn_colatein_free.argtypes = [ctypes.c_void_p]
+    P = ctypes.c_void_p
+    lib.cn_join_tmptmp.restype = ctypes.c_void_p
+    lib.cn_join_tmptmp.argtypes = (
+        [ctypes.c_int, P, P]          # n_chr, chrom blob, chrom offsets
+        + [P] * 6                     # mut: off, pos, ab, ae, anc, der
+        + [P] * 5 + [ctypes.c_int64] + [P] * 3 + [ctypes.c_int64]  # target
+        + [P] * 5 + [ctypes.c_int64] + [P] * 3 + [ctypes.c_int64]  # reference
+        + [ctypes.c_double, ctypes.c_int64]  # ref_age, bases per block
+    )
+    lib.cn_join_n.restype = ctypes.c_int64
+    lib.cn_join_n.argtypes = [ctypes.c_void_p]
+    lib.cn_join_num_blocks.restype = ctypes.c_int64
+    lib.cn_join_num_blocks.argtypes = [ctypes.c_void_p]
+    lib.cn_join_col.restype = ctypes.c_void_p
+    lib.cn_join_col.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_join_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 

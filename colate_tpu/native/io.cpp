@@ -28,6 +28,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <vector>
 
@@ -360,5 +361,154 @@ void* cn_colatein_col(void* h, int col, int64_t* nbytes) {
 }
 
 void cn_colatein_free(void* h) { delete (ColateInC*)h; }
+
+// ---------------------------------------------------------------------------
+// tmptmp join: the mode-mut hot loop over precomputed site streams
+// (reference coal/coal.cpp:2071-2321).  Python pre-filters the .mut rows
+// (flips/branches/ages/alleles/masks — coal.cpp:2150-2176) and passes the
+// survivors; this walks both record streams with the reference's exact
+// consumed-record cursor semantics and emits per-site weights.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct JoinOutC {
+  std::vector<double> ab, ae, ws, wn, wsm, wnm;
+  std::vector<int32_t> blk;
+  int64_t num_blocks = 0;
+};
+
+struct StreamCur {
+  const int32_t *bp, *aaf, *daf;
+  const uint8_t *anc, *der;
+  int64_t n;
+  const char* name_blob;
+  const int64_t* name_off;   // nr+1
+  const int64_t* run_start;  // nr+1 record indices
+  int64_t nr;
+  int64_t idx = -1;  // last-read record
+  int64_t run = 0;
+
+  bool name_is(const char* c, size_t cl) const {
+    if (idx < 0) return false;
+    int64_t l = name_off[run + 1] - name_off[run];
+    return (int64_t)cl == l && memcmp(name_blob + name_off[run], c, l) == 0;
+  }
+  bool read() {
+    if (idx + 1 >= n) return false;
+    idx++;
+    while (run + 1 < nr && idx >= run_start[run + 1]) run++;
+    return true;
+  }
+};
+
+}  // namespace
+
+void* cn_join_tmptmp(
+    int n_chr, const char* chrom_blob, const int64_t* chrom_off,
+    const int64_t* m_off, const int64_t* m_pos, const double* m_ab,
+    const double* m_ae, const uint8_t* m_anc, const uint8_t* m_der,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_n,
+    const char* t_names, const int64_t* t_name_off, const int64_t* t_runs,
+    int64_t t_nr,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_n,
+    const char* r_names, const int64_t* r_name_off, const int64_t* r_runs,
+    int64_t r_nr, double ref_age, int64_t num_bases_per_block) {
+  auto* out = new JoinOutC();
+  StreamCur tgt{t_bp, t_aaf, t_daf, t_anc, t_der, t_n,
+                t_names, t_name_off, t_runs, t_nr};
+  StreamCur ref{r_bp, r_aaf, r_daf, r_anc, r_der, r_n,
+                r_names, r_name_off, r_runs, r_nr};
+  int64_t num_blocks = 0;
+
+  for (int c = 0; c < n_chr; c++) {
+    const char* chrom = chrom_blob + chrom_off[c];
+    size_t cl = (size_t)(chrom_off[c + 1] - chrom_off[c]);
+    // chromosome scan (coal.cpp:2125-2146): consume until name matches
+    while (!ref.name_is(chrom, cl))
+      if (!ref.read()) break;
+    while (!tgt.name_is(chrom, cl))
+      if (!tgt.read()) break;
+
+    int64_t current_block_base = 0;
+    for (int64_t i = m_off[c]; i < m_off[c + 1]; i++) {
+      int64_t pos = m_pos[i];
+      // --- reference stream (coal.cpp:2183-2199) ---
+      int32_t DAF_ref = 0, AAF_ref = 0;
+      while (ref.name_is(chrom, cl) && ref.bp[ref.idx] < pos) {
+        if (!ref.read()) break;
+        AAF_ref = ref.aaf[ref.idx];
+        DAF_ref = ref.daf[ref.idx];
+      }
+      bool use = ref.name_is(chrom, cl) && ref.bp[ref.idx] == pos &&
+                 ref.anc[ref.idx] == m_anc[i] && ref.der[ref.idx] == m_der[i];
+      if (DAF_ref == 0) use = false;
+      int32_t N_ref = DAF_ref + AAF_ref;
+      if (!use) continue;
+      // --- target stream (coal.cpp:2201-2222) ---
+      int32_t DAF_t = 0, AAF_t = 0;
+      while (tgt.name_is(chrom, cl) && tgt.bp[tgt.idx] < pos) {
+        if (!tgt.read()) break;
+        AAF_t = tgt.aaf[tgt.idx];
+        DAF_t = tgt.daf[tgt.idx];
+      }
+      use = tgt.name_is(chrom, cl) && tgt.bp[tgt.idx] == pos &&
+            tgt.anc[tgt.idx] == m_anc[i] && tgt.der[tgt.idx] == m_der[i];
+      int32_t N_t = DAF_t + AAF_t;
+      if (N_t == 0) use = false;
+      if (!use) continue;
+
+      while (current_block_base + num_bases_per_block < pos) {
+        current_block_base += num_bases_per_block;
+        num_blocks++;
+      }
+      // pseudo-diploid rounding in float (coal.cpp:2236-2242)
+      float f_DAF = (float)DAF_t, f_AAF = (float)AAF_t;
+      f_DAF = (float)(f_DAF / (N_t / 2.0));
+      f_AAF = (float)(f_AAF / (N_t / 2.0));
+      f_DAF = std::round(f_DAF);
+      f_AAF = std::round(f_AAF);
+      double ab = m_ab[i] < ref_age ? ref_age : m_ab[i];
+      out->ab.push_back(ab);
+      out->ae.push_back(m_ae[i]);
+      out->ws.push_back((double)f_DAF * DAF_ref / (double)N_ref);
+      out->wn.push_back((double)f_AAF * DAF_ref / (double)N_ref);
+      out->wsm.push_back((double)f_DAF * DAF_ref / ((double)N_ref * 100.0));
+      out->wnm.push_back((double)f_AAF * DAF_ref / ((double)N_ref * 100.0));
+      out->blk.push_back((int32_t)num_blocks);
+    }
+    num_blocks++;  // end-of-chromosome block boundary (coal.cpp:2307-2312)
+  }
+  out->num_blocks = num_blocks;
+  return out;
+}
+
+int64_t cn_join_n(void* h) { return (int64_t)((JoinOutC*)h)->ab.size(); }
+
+int64_t cn_join_num_blocks(void* h) { return ((JoinOutC*)h)->num_blocks; }
+
+void* cn_join_col(void* h, int col, int64_t* nbytes) {
+  auto* t = (JoinOutC*)h;
+  auto ret = [&](void* p, size_t nb) {
+    *nbytes = (int64_t)nb;
+    return p;
+  };
+  switch (col) {
+    case 0: return ret(t->ab.data(), t->ab.size() * 8);
+    case 1: return ret(t->ae.data(), t->ae.size() * 8);
+    case 2: return ret(t->ws.data(), t->ws.size() * 8);
+    case 3: return ret(t->wn.data(), t->wn.size() * 8);
+    case 4: return ret(t->wsm.data(), t->wsm.size() * 8);
+    case 5: return ret(t->wnm.data(), t->wnm.size() * 8);
+    case 6: return ret(t->blk.data(), t->blk.size() * 4);
+    default: break;
+  }
+  *nbytes = -1;
+  return nullptr;
+}
+
+void cn_join_free(void* h) { delete (JoinOutC*)h; }
 
 }  // extern "C"

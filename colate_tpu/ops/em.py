@@ -180,6 +180,27 @@ def _e_step_all_bins(epochs, rates, t, k):
     return num_s, den_s, logl_s, num_n, den_n, logl_n
 
 
+def e_step_sampled(epochs, rates, key, age_begin, age_end):
+    """Monte-Carlo E-step: one uniform age draw per bin, then the
+    point-age E-step at the sampled age.
+
+    The reference defines this as ``EM_shared_sampled`` /
+    ``EM_notshared_sampled`` (coal/coal_EM.cpp:470-770, max_iter=1) but
+    never calls it from mode `mut`; it is provided for API parity and
+    for MC cross-checks of the analytic binning.  Returns the same
+    six-tuple as the deterministic E-step plus the sampled ages.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u = jax.random.uniform(key, age_begin.shape, dtype=epochs.dtype)
+    t = age_begin + u * (age_end - age_begin)
+    k = jnp.clip(
+        jnp.searchsorted(epochs, t, side="right") - 1, 0, epochs.shape[0] - 1
+    ).astype(jnp.int32)
+    return _e_step_all_bins(epochs, rates, t, k) + (t,)
+
+
 def _m_step(rates_old, num_tot, den_tot):
     """Reference rate update (coal.cpp:3775-3815): num==0 copies the
     previous epoch's *new* rate (0 for epoch 0); den==0 keeps the old
@@ -203,7 +224,7 @@ def _m_step(rates_old, num_tot, den_tot):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("max_iter", "min_iter"),
+    static_argnames=("max_iter", "min_iter", "dtype"),
 )
 def run_em(
     epochs,
@@ -212,6 +233,7 @@ def run_em(
     notshared_counts,
     max_iter: int = EM_MAX_ITER,
     min_iter: int = EM_MIN_ITER,
+    dtype: str | None = None,
 ):
     """EM to convergence for all bootstrap replicates in parallel.
 
@@ -223,29 +245,41 @@ def run_em(
     logl/prev_logl > 1-1e-7 after >1000 iterations.  Replicates freeze
     once converged (the reference runs them sequentially to their own
     stopping points).
+
+    ``dtype`` selects the E-step working precision: "float64" (default;
+    reference-parity numerics) or "float32" (TPU fast path — f64 is
+    software-emulated on TPU).  The log-likelihood driving the
+    1-1e-7 convergence ratio always accumulates in f64.
     """
     import jax
     import jax.numpy as jnp
 
+    wdt = jnp.float64 if dtype in (None, "float64") else jnp.float32
+    f64 = jnp.float64
     B = shared_counts.shape[0]
     E = epochs.shape[0]
-    t = jnp.asarray(age_bin_centers(), dtype=epochs.dtype)
-    k = jnp.searchsorted(epochs, t, side="right") - 1
+    # epoch assignment of the age-bin centres stays f64 (bin boundaries)
+    t64 = jnp.asarray(age_bin_centers(), dtype=epochs.dtype)
+    k = jnp.searchsorted(epochs, t64, side="right") - 1
     k = jnp.clip(k, 0, E - 1).astype(jnp.int32)
+    t = t64.astype(wdt)
+    epochs_w = epochs.astype(wdt)
+    sc = shared_counts.astype(wdt)
+    nc = notshared_counts.astype(wdt)
 
-    e_step_b = jax.vmap(lambda r: _e_step_all_bins(epochs, r, t, k))
+    e_step_b = jax.vmap(lambda r: _e_step_all_bins(epochs_w, r, t, k))
 
     def iteration(rates):
         num_s, den_s, logl_s, num_n, den_n, logl_n = e_step_b(rates)
-        num_tot = jnp.einsum("bn,bne->be", shared_counts, num_s) + jnp.einsum(
-            "bn,bne->be", notshared_counts, num_n
+        num_tot = jnp.einsum("bn,bne->be", sc, num_s) + jnp.einsum(
+            "bn,bne->be", nc, num_n
         )
-        den_tot = jnp.einsum("bn,bne->be", shared_counts, den_s) + jnp.einsum(
-            "bn,bne->be", notshared_counts, den_n
+        den_tot = jnp.einsum("bn,bne->be", sc, den_s) + jnp.einsum(
+            "bn,bne->be", nc, den_n
         )
-        ll = jnp.einsum("bn,bn->b", shared_counts, logl_s) + jnp.einsum(
-            "bn,bn->b", notshared_counts, logl_n
-        )
+        ll = jnp.einsum(
+            "bn,bn->b", sc, logl_s, preferred_element_type=f64
+        ) + jnp.einsum("bn,bn->b", nc, logl_n, preferred_element_type=f64)
         new_rates = jax.vmap(_m_step)(rates, num_tot, den_tot)
         return new_rates, ll
 
@@ -267,13 +301,13 @@ def run_em(
     # batch-axis carries derive from the (possibly mesh-sharded) counts so
     # their varying-across-mesh type matches the loop body's outputs when
     # run_em executes inside shard_map (bootstrap-parallel EM)
-    zero_b = shared_counts[:, 0] * 0.0
+    zero_b = sc[:, 0] * 0.0
     state0 = (
         jnp.zeros((), jnp.int32),
-        init_rates[None, :].astype(epochs.dtype) + zero_b[:, None],
-        zero_b - jnp.inf,
+        init_rates[None, :].astype(wdt) + zero_b[:, None],
+        zero_b.astype(f64) - jnp.inf,
         zero_b > 1.0,
         zero_b.astype(jnp.int32),
     )
     it, rates, ll, conv, iters = jax.lax.while_loop(cond, body, state0)
-    return rates, ll, iters
+    return rates.astype(epochs.dtype), ll, iters

@@ -69,7 +69,7 @@ def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
     n = len(sites)
     # fixed-size chunks keep the [chunk, 186] intermediates bounded and the
     # compiled kernel shape-stable; small inputs use one snug bucket
-    chunk = min(_next_bucket(max(n, 1)), 262144)
+    chunk = min(_next_bucket(max(n, 1)), 65536)
     acc = None
     for lo in range(0, max(n, 1), chunk):
         hi = min(lo + chunk, n)
@@ -86,12 +86,12 @@ def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
             [sites.block_id[lo:hi], np.full(pad, MAX_BLOCKS - 1, np.int32)]
         ).astype(np.int32)
         out = _bin_analytic_jit(ab, ae, ws, wn, blk, MAX_BLOCKS, float(age))
+        # accumulate on device (f64): chunks pipeline without host syncs
         if acc is None:
-            acc = [np.array(o) for o in out]  # writable copies
+            acc = list(out)
         else:
-            for a, o in zip(acc, out):
-                a += np.asarray(o)
-    return tuple(a[:nb] for a in acc)
+            acc = [a + o for a, o in zip(acc, out)]
+    return tuple(np.asarray(a[:nb]) for a in acc)
 
 
 def _overlap_probs(a, b, edges):
@@ -114,52 +114,51 @@ def _make_bin_analytic():
 
     @partial(jax.jit, static_argnums=(5,), static_argnames=())
     def fn(age_begin, age_end, w_shared, w_notshared, block_id, num_blocks, age):
+        # The wide [n, nbins] overlap work runs in f32 (TPU-native; f64 is
+        # software-emulated) and the per-chunk [blocks, nbins] reductions
+        # are widened to f64 for cross-chunk accumulation.  Analytic mode
+        # is an expectation of the reference's 100-draw MC — per-site f32
+        # rounding (~1e-7 relative) is far inside that approximation; the
+        # bit-exact path is bin_sites_mc_parity.
         edges = jnp.asarray(age_bin_edges())
         nbins = NUM_AGE_BINS
         is_emp = age_begin <= age
+        f32 = jnp.float32
+        ab32 = age_begin.astype(f32)
+        ae32 = age_end.astype(f32)
+        edges32 = edges.astype(f32)
+        age32 = jnp.asarray(age, f32)
 
         # --- regular sites: conditional on bin <= nbins-1 (resampling) ---
         # clamp draws below `age` to `age` is only in the emp branch; in the
         # regular branch draws below `age` are rejected (skip=true) and
         # redrawn, so the distribution is U[max(age_begin,age), age_end]
         # conditional on landing in-table.  (For tmp inputs age==0: no-op.)
-        a_reg = jnp.maximum(age_begin, age)
-        p = _overlap_probs(a_reg, age_end, edges)  # [n, nbins]
+        a_reg = jnp.maximum(ab32, age32)
+        p = _overlap_probs(a_reg, ae32, edges32)  # [n, nbins] f32
         norm = jnp.sum(p, axis=1, keepdims=True)
-        p = jnp.where(norm > 0, p / jnp.maximum(norm, 1e-300), 0.0)
-        w_s = jnp.where(is_emp, 0.0, w_shared)
-        w_n_reg = jnp.where(is_emp, 0.0, w_notshared)
+        p = jnp.where(norm > 0, p / jnp.maximum(norm, f32(1e-30)), f32(0.0))
+        w_s = jnp.where(is_emp, 0.0, w_shared).astype(f32)
+        w_n_reg = jnp.where(is_emp, 0.0, w_notshared).astype(f32)
 
         # --- emp sites: T = max(U[age_begin, age_end], age), no resampling.
         # Distribute via the clamped CDF: F_T(e) = cdf_U(e) if e > age else 0,
         # so mass below `age` collapses into the bin containing `age`.
         # (age==0 is the common case: plain uniform over [0, age_end].) ---
-        width = jnp.maximum(age_end - age_begin, 1e-300)
+        width = jnp.maximum(ae32 - ab32, f32(1e-30))
         cdf_u = jnp.clip(
-            (edges[None, :] - age_begin[:, None]) / width[:, None], 0.0, 1.0
+            (edges32[None, :] - ab32[:, None]) / width[:, None], 0.0, 1.0
         )
-        f_t = jnp.where(edges[None, :] > age, cdf_u, 0.0)
+        f_t = jnp.where(edges32[None, :] > age32, cdf_u, f32(0.0))
         p_emp = f_t[:, 1:] - f_t[:, :-1]
         # out-of-table mass (beyond the last edge) is clipped into the last
         # bin — the reference would write out of bounds there (see
         # config.bin_of_age); unreachable with realistic ages.
         p_emp = p_emp.at[:, -1].add(1.0 - f_t[:, -1])
-        w_n_emp = jnp.where(is_emp, w_notshared, 0.0)
+        w_n_emp = jnp.where(is_emp, w_notshared, 0.0).astype(f32)
 
-        shared_hist = jax.ops.segment_sum(
-            p * (w_s[:, None]),
-            block_id,
-            num_segments=num_blocks,
-            indices_are_sorted=True,
-        )
-        notshared_hist = jax.ops.segment_sum(
-            p * (w_n_reg[:, None]) + p_emp * (w_n_emp[:, None]),
-            block_id,
-            num_segments=num_blocks,
-            indices_are_sorted=True,
-        )
-
-        # --- emp matrices: keyed by bin(age_end), full site weight ---
+        # --- emp matrices: keyed by bin(age_end), full site weight; the
+        # bin index stays f64 (log-edge rounding must match the reference) ---
         bin2 = jnp.clip(
             jnp.where(
                 age_end > 0,
@@ -171,15 +170,34 @@ def _make_bin_analytic():
             0,
             nbins - 1,
         )
-        emp_key = block_id * nbins + bin2
-        w_se = jnp.where(is_emp, w_shared, 0.0)
-        w_ne = jnp.where(is_emp, w_notshared, 0.0)
-        shared_emp = jax.ops.segment_sum(
-            w_se, emp_key, num_segments=num_blocks * nbins
-        ).reshape(num_blocks, nbins)
-        notshared_emp = jax.ops.segment_sum(
-            w_ne, emp_key, num_segments=num_blocks * nbins
-        ).reshape(num_blocks, nbins)
+        oh_bin2 = (
+            bin2[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
+        ).astype(f32)
+        w_se = jnp.where(is_emp, w_shared, 0.0).astype(f32)
+        w_ne = jnp.where(is_emp, w_notshared, 0.0).astype(f32)
+
+        # --- one block-one-hot matmul for all four [blocks, nbins]
+        # reductions: the contraction over sites runs on the MXU instead
+        # of a scatter (block ids are few: MAX_BLOCKS=512) ---
+        oh_blk = (
+            block_id[:, None] == jnp.arange(num_blocks, dtype=block_id.dtype)[None, :]
+        ).astype(f32)
+        M = jnp.concatenate(
+            [
+                p * w_s[:, None],
+                p * w_n_reg[:, None] + p_emp * w_n_emp[:, None],
+                oh_bin2 * w_se[:, None],
+                oh_bin2 * w_ne[:, None],
+            ],
+            axis=1,
+        )  # [n, 4*nbins]
+        out = jnp.einsum(
+            "nk,nc->kc", oh_blk, M, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.float64)
+        shared_hist = out[:, :nbins]
+        notshared_hist = out[:, nbins : 2 * nbins]
+        shared_emp = out[:, 2 * nbins : 3 * nbins]
+        notshared_emp = out[:, 3 * nbins :]
         return shared_hist, notshared_hist, shared_emp, notshared_emp
 
     return fn

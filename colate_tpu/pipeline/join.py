@@ -72,29 +72,44 @@ class _Cursor:
     stream: SiteStream
     consumed: int = -1  # index of last consumed record; -1 = nothing read
     cur_chrom: str = "\x00uninit"  # matches the reference's garbage initial
+    _run_starts: np.ndarray | None = None
+    _run_names: list | None = None
+
+    def _runs(self):
+        if self._run_starts is None:
+            self._run_starts, self._run_names = self.stream.runs()
+        return self._run_starts, self._run_names
 
     def segment(self, chrom: str) -> tuple[int, int]:
-        """Range [lo, hi) of records for `chrom` at/after the cursor."""
-        ch = self.stream.chrom
-        n = len(ch)
-        i = max(self.consumed, 0)
-        # chromosome scan (coal.cpp:2125-2133): consume records until the
-        # current record's chrom matches; consumes at least one record if the
-        # cursor's current record doesn't match.
+        """Range [lo, hi) of records for `chrom` at/after the cursor.
+
+        O(runs) via the stream's run-length chromosome encoding; exact
+        consumed-record semantics of the reference's chromosome scan
+        (coal.cpp:2125-2133): consume records until the current record's
+        chrom matches (at least one record if the cursor's current one
+        doesn't)."""
+        starts, names = self._runs()
+        n = len(self.stream.chrom)
         if self.cur_chrom != chrom:
             j = self.consumed + 1
-            while j < n and ch[j] != chrom:
-                j += 1
             if j >= n:
+                self.consumed = n
+                self.cur_chrom = chrom
+                return (n, n)
+            r = int(np.searchsorted(starts, j, side="right")) - 1
+            while r < len(names) and names[r] != chrom:
+                r += 1
+            if r >= len(names):
                 self.consumed = n
                 self.cur_chrom = chrom  # EOF; no records will match
                 return (n, n)
-            self.consumed = j
+            self.consumed = max(j, int(starts[r]))
             self.cur_chrom = chrom
         lo = max(self.consumed, 0)
-        hi = lo
-        while hi < n and ch[hi] == chrom:
-            hi += 1
+        if lo >= n:
+            return (n, n)
+        r = int(np.searchsorted(starts, lo, side="right")) - 1
+        hi = int(starts[r + 1]) if names[r] == chrom else lo
         return (lo, hi)
 
 
@@ -162,11 +177,27 @@ def join_tmptmp(
     reference_masks: list[np.ndarray] | None = None,
     age: float = 0.0,
     ref_age: float = 0.0,
+    use_native: bool | None = None,
 ) -> JoinedSites:
     """The parse_tmptmp join.  NOTE: the reference forces age=ref_age=0 for
-    tmp inputs (coal.cpp:2073-2074); callers pass 0 to match."""
+    tmp inputs (coal.cpp:2073-2074); callers pass 0 to match.
+
+    Dispatches to the native C++ cursor walk when the library is
+    available (use_native=None); the vectorised numpy path below is the
+    fallback and equivalence oracle (tests/test_native_io.py)."""
     age = 0.0
     ref_age = 0.0
+    if use_native is not False:
+        try:
+            out = _join_tmptmp_native(
+                chrom_names, mut_tables, target, reference,
+                target_masks, reference_masks, age, ref_age,
+            )
+            if out is not None:
+                return out
+        except Exception:
+            if use_native:
+                raise
 
     tgt_cur = _Cursor(target)
     ref_cur = _Cursor(reference)
@@ -267,6 +298,109 @@ def join_tmptmp(
         block_id=np.zeros(0, np.int32),
         num_blocks=block_offset,
     )
+
+
+def _stream_ctypes(st: SiteStream):
+    """(bp, anc, der, aaf, daf, n, name_blob, name_off, run_starts, nr)
+    contiguous buffers for the native join."""
+    starts, names = st.runs()
+    blob = "".join(names).encode("ascii")
+    name_off = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(n) for n in names], out=name_off[1:])
+    return (
+        np.ascontiguousarray(st.bp, np.int32),
+        np.ascontiguousarray(st.anc, np.uint8),
+        np.ascontiguousarray(st.der, np.uint8),
+        np.ascontiguousarray(st.aaf, np.int32),
+        np.ascontiguousarray(st.daf, np.int32),
+        len(st),
+        np.frombuffer(blob, np.uint8) if blob else np.zeros(0, np.uint8),
+        name_off,
+        np.ascontiguousarray(starts, np.int64),
+        len(names),
+    )
+
+
+def _join_tmptmp_native(
+    chrom_names, mut_tables, target, reference, target_masks,
+    reference_masks, age, ref_age,
+) -> JoinedSites | None:
+    import ctypes
+
+    from colate_tpu import native
+    from colate_tpu.config import NUM_BASES_PER_BLOCK as NBB
+
+    lib = native.load()
+    if lib is None:
+        return None
+
+    # pre-filter rows per chromosome (vectorised; identical to the numpy
+    # path) and concatenate
+    pos_l, ab_l, ae_l, anc_l, der_l = [], [], [], [], []
+    off = np.zeros(len(chrom_names) + 1, np.int64)
+    for ci, mt in enumerate(mut_tables):
+        anc_c, der_c, valid = allele_codes(mt)
+        keep = (
+            (mt.flipped == 0)
+            & (mt.num_branches == 1)
+            & (mt.age_begin < mt.age_end)
+            & (mt.age_end >= age)
+            & valid
+        )
+        if target_masks is not None and target_masks[ci] is not None:
+            keep &= _mask_pass(target_masks[ci], mt.pos)
+        if reference_masks is not None and reference_masks[ci] is not None:
+            keep &= _mask_pass(reference_masks[ci], mt.pos)
+        rows = np.nonzero(keep)[0]
+        pos_l.append(mt.pos[rows].astype(np.int64))
+        ab_l.append(np.ascontiguousarray(mt.age_begin[rows], np.float64))
+        ae_l.append(np.ascontiguousarray(mt.age_end[rows], np.float64))
+        anc_l.append(np.ascontiguousarray(anc_c[rows], np.uint8))
+        der_l.append(np.ascontiguousarray(der_c[rows], np.uint8))
+        off[ci + 1] = off[ci] + rows.shape[0]
+    m_pos = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
+    m_ab = np.concatenate(ab_l) if ab_l else np.zeros(0)
+    m_ae = np.concatenate(ae_l) if ae_l else np.zeros(0)
+    m_anc = np.concatenate(anc_l) if anc_l else np.zeros(0, np.uint8)
+    m_der = np.concatenate(der_l) if der_l else np.zeros(0, np.uint8)
+
+    cblob = "".join(chrom_names).encode("ascii")
+    coff = np.zeros(len(chrom_names) + 1, np.int64)
+    np.cumsum([len(c) for c in chrom_names], out=coff[1:])
+    cblob_a = np.frombuffer(cblob, np.uint8) if cblob else np.zeros(0, np.uint8)
+
+    t = _stream_ctypes(target)
+    r = _stream_ctypes(reference)
+
+    def pp(a):
+        return ctypes.c_void_p(a.ctypes.data) if isinstance(a, np.ndarray) else a
+
+    h = lib.cn_join_tmptmp(
+        len(chrom_names), pp(cblob_a), pp(coff),
+        pp(off), pp(m_pos), pp(m_ab), pp(m_ae), pp(m_anc), pp(m_der),
+        pp(t[0]), pp(t[1]), pp(t[2]), pp(t[3]), pp(t[4]), t[5],
+        pp(t[6]), pp(t[7]), pp(t[8]), t[9],
+        pp(r[0]), pp(r[1]), pp(r[2]), pp(r[3]), pp(r[4]), r[5],
+        pp(r[6]), pp(r[7]), pp(r[8]), r[9],
+        float(ref_age), NBB,
+    )
+    if not h:
+        return None
+    try:
+        col = lambda c, dt: native.col_array(lib, lib.cn_join_col, h, c, dt)
+        out = JoinedSites(
+            age_begin=col(0, np.float64),
+            age_end=col(1, np.float64),
+            w_shared=col(2, np.float64),
+            w_notshared=col(3, np.float64),
+            block_id=col(6, np.int32),
+            num_blocks=int(lib.cn_join_num_blocks(h)),
+            w_shared_mc=col(4, np.float64),
+            w_notshared_mc=col(5, np.float64),
+        )
+    finally:
+        lib.cn_join_free(h)
+    return out
 
 
 def allele_codes(mt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

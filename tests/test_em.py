@@ -153,3 +153,55 @@ def test_em_bootstrap_batch_consistency():
     rates = np.asarray(rates)
     np.testing.assert_array_equal(rates[0], rates[1])
     np.testing.assert_array_equal(rates[0], rates[2])
+
+
+def test_run_em_f32_close_to_f64():
+    """The TPU fast path (f32 E-step, f64 logl) must track the f64 EM."""
+    import jax.numpy as jnp
+
+    from colate_tpu.ops.em import run_em
+    from colate_tpu.ops.epochs import epochs_from_bins
+
+    g = np.random.default_rng(123)
+    epochs, _ = epochs_from_bins("3,7,0.3", 28.0, 0.0)
+    nb = 185
+    sh = np.abs(g.normal(5.0, 2.0, (2, nb)))
+    ns = np.abs(g.normal(50.0, 10.0, (2, nb)))
+    init = np.full(epochs.shape, 1 / 20000.0)
+    r64, l64, i64 = run_em(
+        jnp.asarray(epochs), jnp.asarray(init), jnp.asarray(sh),
+        jnp.asarray(ns), max_iter=1200, dtype="float64",
+    )
+    r32, l32, i32 = run_em(
+        jnp.asarray(epochs), jnp.asarray(init), jnp.asarray(sh),
+        jnp.asarray(ns), max_iter=1200, dtype="float32",
+    )
+    r64 = np.asarray(r64)
+    r32 = np.asarray(r32)
+    m = r64 > 1e-8  # ignore floor-pinned epochs
+    np.testing.assert_allclose(r32[m], r64[m], rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(l32), np.asarray(l64), rtol=1e-5)
+
+
+def test_e_step_sampled_degenerate_interval_matches_point():
+    """With age_begin == age_end the sampled E-step is the point E-step."""
+    import jax
+    import jax.numpy as jnp
+
+    from colate_tpu.ops.em import _e_step_all_bins, e_step_sampled
+    from colate_tpu.ops.epochs import epochs_from_bins
+
+    epochs, _ = epochs_from_bins("3,6,0.5", 28.0, 0.0)
+    epochs = jnp.asarray(epochs)
+    rates = jnp.full(epochs.shape, 1e-4)
+    t = jnp.asarray(np.geomspace(1.0, 1e5, 32))
+    k = jnp.clip(
+        jnp.searchsorted(epochs, t, side="right") - 1, 0, epochs.shape[0] - 1
+    ).astype(jnp.int32)
+    point = _e_step_all_bins(epochs, rates, t, k)
+    sampled = e_step_sampled(
+        epochs, rates, jax.random.PRNGKey(0), t, t
+    )
+    for a, b in zip(point, sampled[:-1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sampled[-1]), np.asarray(t))

@@ -78,3 +78,27 @@ def test_colate_in_native_matches_python(tmp_path):
     np.testing.assert_array_equal(a.aaf, b.aaf)
     np.testing.assert_array_equal(a.daf, b.daf)
     assert list(a.chrom) == list(b.chrom)
+
+
+def test_join_tmptmp_native_matches_python(tmp_path):
+    from colate_tpu.formats.colate_in import read_colate_in
+    from colate_tpu.formats.mut import MutTable as MT
+    from colate_tpu.pipeline.join import join_tmptmp
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=3000, seed=55)
+    mts = [MT.read(f) for f in
+           [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]]
+    tgt = read_colate_in(fix["target"])
+    ref = read_colate_in(fix["reference"])
+    a = join_tmptmp(fix["chroms"], mts, tgt, ref, use_native=True)
+    b = join_tmptmp(fix["chroms"], mts, tgt, ref, use_native=False)
+    assert len(a) == len(b)
+    assert a.num_blocks == b.num_blocks
+    np.testing.assert_array_equal(a.block_id, b.block_id)
+    np.testing.assert_array_equal(a.age_begin, b.age_begin)
+    np.testing.assert_array_equal(a.age_end, b.age_end)
+    np.testing.assert_array_equal(a.w_shared, b.w_shared)
+    np.testing.assert_array_equal(a.w_notshared, b.w_notshared)
+    np.testing.assert_array_equal(a.w_shared_mc, b.w_shared_mc)
+    np.testing.assert_array_equal(a.w_notshared_mc, b.w_notshared_mc)
