@@ -37,7 +37,11 @@ from colate_tpu.formats.mut import MutTable
 from colate_tpu.hostrng import MT19937
 from colate_tpu.ops.bootstrap import bootstrap_weights, redistribute_emp, weighted_counts
 from colate_tpu.ops.epochs import epochs_from_bins, epochs_from_coal_file
-from colate_tpu.pipeline.binning import bin_sites_analytic, bin_sites_mc_parity
+from colate_tpu.pipeline.binning import (
+    bin_sites_analytic,
+    bin_sites_analytic_native,
+    bin_sites_mc_parity,
+)
 from colate_tpu.pipeline.join import join_tmptmp
 
 
@@ -245,7 +249,10 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
             elif parity:
                 sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
             else:
-                sh_b, ns_b, se_b, ne_b = bin_sites_analytic(sites, age=0.0)
+                hists = bin_sites_analytic_native(sites, age=0.0)
+                if hists is None:
+                    hists = bin_sites_analytic(sites, age=0.0)
+                sh_b, ns_b, se_b, ne_b = hists
             timings["binning"] = time.time() - t0
             if ckpt_fp is not None:
                 from colate_tpu.utils.checkpoint import save_suffstats

@@ -93,12 +93,23 @@ def load():
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
     ]
     lib.cn_join_free.argtypes = [ctypes.c_void_p]
+    lib.cn_bin_analytic.restype = None
+    lib.cn_bin_analytic.argtypes = (
+        [ctypes.c_int64] + [P] * 5           # n, ab, ae, ws, wn, blk
+        + [ctypes.c_int64, ctypes.c_int, P]  # num_blocks, nbins, edges
+        + [ctypes.c_double, ctypes.c_double] # age, bin C
+        + [P] * 4                            # output histograms
+    )
     _lib = lib
     return _lib
 
 
 def col_array(lib, getter, handle, col, dtype):
-    """Copy native column `col` out as a numpy array of `dtype`."""
+    """Copy native column `col` out as a numpy array of `dtype`.
+
+    One memcpy straight out of the native buffer (ctypes.string_at would
+    materialise an intermediate Python bytes object — a second copy and
+    GIL-bound allocation on the multi-MB blob columns)."""
     import numpy as np
 
     nb = ctypes.c_int64()
@@ -108,5 +119,9 @@ def col_array(lib, getter, handle, col, dtype):
         raise ValueError(f"bad native column id {col}")
     if n == 0:
         return np.zeros(0, dtype)
-    raw = ctypes.string_at(ptr, n)
-    return np.frombuffer(raw, dtype=dtype).copy()
+    src = np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)), shape=(n,)
+    )
+    out = np.empty(n, np.uint8)
+    np.copyto(out, src)
+    return out.view(dtype)

@@ -29,7 +29,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -109,37 +111,58 @@ inline int64_t parse_i64(const char* b, const char* e) {
   return neg ? -v : v;
 }
 
-}  // namespace
+// Clinger fast path for decimal → float32: when the mantissa has ≤7
+// digits (exact in float) and the fractional scale is ≤1e10 (exact in
+// float), a single IEEE float division gives the correctly-rounded
+// result — bit-identical to glibc strtof, which the reference's
+// std::stof uses (mutations.cpp:150-152).  Anything else (scientific
+// notation, hex, long mantissas) falls back to strtof.
+const float kP10F[11] = {1e0f, 1e1f, 1e2f, 1e3f, 1e4f, 1e5f,
+                         1e6f, 1e7f, 1e8f, 1e9f, 1e10f};
 
-extern "C" {
+inline float fast_strtof(const char* b, const char* e, bool& ok) {
+  const char* q = b;
+  bool neg = false;
+  if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  uint64_t m = 0;
+  int digs = 0, frac = 0;
+  bool seen_dot = false;
+  while (q < e) {
+    char c = *q;
+    if (c >= '0' && c <= '9') {
+      m = m * 10 + (uint64_t)(c - '0');
+      digs++;
+      if (seen_dot) frac++;
+      q++;
+    } else if (c == '.' && !seen_dot) {
+      seen_dot = true;
+      q++;
+    } else {
+      break;
+    }
+  }
+  if (q < e && (*q == 'e' || *q == 'E' || *q == 'x' || *q == 'X')) {
+    ok = false;
+    return 0;
+  }
+  if (digs == 0 || digs > 7 || frac > 10) {
+    ok = false;
+    return 0;
+  }
+  ok = true;
+  float v = (float)m / kP10F[frac];
+  return neg ? -v : v;
+}
 
-void* cn_mut_read(const char* path, char* errbuf, int errlen) {
-  std::string err;
-  std::vector<char> buf;
-  if (!slurp(path, buf, err)) {
-    snprintf(errbuf, errlen, "%s", err.c_str());
-    return nullptr;
-  }
-  auto* t = new MutTableC();
-  const char* p = buf.data();
-  const char* end = p + buf.size();
-  // header line
-  const char* nl = (const char*)memchr(p, '\n', end - p);
-  if (!nl) {
-    snprintf(errbuf, errlen, "empty .mut file: %s", path);
-    delete t;
-    return nullptr;
-  }
-  t->header.assign(p, nl - p);
-  p = nl + 1;
+inline double parse_age(const char* b, const char* e) {
+  bool ok;
+  float v = fast_strtof(b, e, ok);
+  return (double)(ok ? v : strtof(b, nullptr));
+}
 
-  size_t nlines = 0;
-  for (const char* q = p; q < end;) {
-    const char* e = (const char*)memchr(q, '\n', end - q);
-    if (!e) e = end;
-    if (e > q) nlines++;
-    q = e + 1;
-  }
+bool parse_mut_range(const char* p, const char* end, const char* bufbase,
+                     MutTableC* t, std::string& err) {
+  size_t nlines = (size_t)(end - p) / 48 + 4;  // lower-bound row estimate
   t->snp_id.reserve(nlines);
   t->pos.reserve(nlines);
   t->dist.reserve(nlines);
@@ -173,10 +196,8 @@ void* cn_mut_read(const char* path, char* errbuf, int errlen) {
       q = s + 1;
     }
     if (nf < 11) {
-      snprintf(errbuf, errlen, "short .mut row at byte %ld",
-               (long)(p - buf.data()));
-      delete t;
-      return nullptr;
+      err = "short .mut row at byte " + std::to_string((long)(p - bufbase));
+      return false;
     }
     t->snp_id.push_back(parse_i64(f[0], f[1] - 1));
     t->pos.push_back(parse_i64(f[1], f[2] - 1));
@@ -202,20 +223,11 @@ void* cn_mut_read(const char* path, char* errbuf, int errlen) {
     }
     // f[6] = is_not_mapping (ignored, like the reference parser)
     t->flipped.push_back(parse_i64(f[7], f[8] - 1));
-    // ages with strtof: the reference uses std::stof (float32)
-    {
-      char tmp[64];
-      size_t l8 = (size_t)(f[9] - 1 - f[8]);
-      if (l8 >= sizeof(tmp)) l8 = sizeof(tmp) - 1;
-      memcpy(tmp, f[8], l8);
-      tmp[l8] = 0;
-      t->age_begin.push_back((double)strtof(tmp, nullptr));
-      size_t l9 = (size_t)(f[10] - 1 - f[9]);
-      if (l9 >= sizeof(tmp)) l9 = sizeof(tmp) - 1;
-      memcpy(tmp, f[9], l9);
-      tmp[l9] = 0;
-      t->age_end.push_back((double)strtof(tmp, nullptr));
-    }
+    // ages as float32 like the reference's std::stof; Clinger fast path
+    // with in-place strtof fallback (fields are ';'-terminated and never
+    // last-on-line, so strtof stops at the ';')
+    t->age_begin.push_back(parse_age(f[8], f[9] - 1));
+    t->age_end.push_back(parse_age(f[9], f[10] - 1));
     // mutation_type: up to the 11th ';' (or line end if none)
     {
       const char* m = f[10];
@@ -236,6 +248,113 @@ void* cn_mut_read(const char* path, char* errbuf, int errlen) {
   t->rsid.finish();
   t->mtype.finish();
   t->rest.finish();
+  return true;
+}
+
+// append src's finished blob onto dst (offset rebasing)
+void merge_blob(Blob& dst, const Blob& src, bool first) {
+  if (first) {
+    dst = src;
+    return;
+  }
+  uint64_t base = dst.data.size();
+  dst.data.insert(dst.data.end(), src.data.begin(), src.data.end());
+  for (size_t i = 1; i < src.off.size(); i++)
+    dst.off.push_back(src.off[i] + base);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cn_mut_read(const char* path, char* errbuf, int errlen) {
+  std::string err;
+  std::vector<char> buf;
+  if (!slurp(path, buf, err)) {
+    snprintf(errbuf, errlen, "%s", err.c_str());
+    return nullptr;
+  }
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  // header line
+  const char* nl = (const char*)memchr(p, '\n', end - p);
+  if (!nl) {
+    snprintf(errbuf, errlen, "empty .mut file: %s", path);
+    return nullptr;
+  }
+  std::string header(p, (size_t)(nl - p));
+  p = nl + 1;
+
+  // split the body at line boundaries and parse in parallel — the text
+  // grammar is per-line (mutations.cpp:57-257), so ranges are independent
+  size_t total = (size_t)(end - p);
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if (total < (1u << 20)) nt = 1;
+  std::vector<const char*> bnd{p};
+  for (unsigned i = 1; i < nt; i++) {
+    const char* q = p + total * i / nt;
+    if (q <= bnd.back()) q = bnd.back();
+    const char* e = (const char*)memchr(q, '\n', end - q);
+    q = e ? e + 1 : end;
+    if (q > bnd.back() && q < end) bnd.push_back(q);
+  }
+  bnd.push_back(end);
+  size_t nw = bnd.size() - 1;
+  std::vector<MutTableC> parts(nw);
+  std::vector<std::string> errs(nw);
+  std::vector<char> ok(nw, 1);
+  {
+    std::vector<std::thread> th;
+    for (size_t w = 0; w < nw; w++)
+      th.emplace_back([&, w] {
+        ok[w] = parse_mut_range(bnd[w], bnd[w + 1], buf.data(), &parts[w],
+                                errs[w]);
+      });
+    for (auto& x : th) x.join();
+  }
+  for (size_t w = 0; w < nw; w++)
+    if (!ok[w]) {
+      snprintf(errbuf, errlen, "%s", errs[w].c_str());
+      return nullptr;
+    }
+
+  auto* t = new MutTableC();
+  t->header = header;
+  if (nw == 1) {
+    *t = std::move(parts[0]);
+    t->header = header;
+    return t;
+  }
+  auto cat = [](auto& dst, auto& src) {
+    dst.insert(dst.end(), src.begin(), src.end());
+  };
+  for (size_t w = 0; w < nw; w++) {
+    auto& s = parts[w];
+    int64_t bbase = (int64_t)t->branch_flat.size();
+    cat(t->snp_id, s.snp_id);
+    cat(t->pos, s.pos);
+    cat(t->dist, s.dist);
+    cat(t->tree, s.tree);
+    cat(t->flipped, s.flipped);
+    cat(t->num_branches, s.num_branches);
+    cat(t->branch_flat, s.branch_flat);
+    if (w == 0) {
+      t->branch_off = std::move(s.branch_off);
+    } else {
+      for (size_t i = 1; i < s.branch_off.size(); i++)
+        t->branch_off.push_back(s.branch_off[i] + bbase);
+    }
+    cat(t->age_begin, s.age_begin);
+    cat(t->age_end, s.age_end);
+    cat(t->anc_code, s.anc_code);
+    cat(t->der_code, s.der_code);
+    cat(t->valid, s.valid);
+    merge_blob(t->mtype, s.mtype, w == 0);
+    merge_blob(t->rsid, s.rsid, w == 0);
+    merge_blob(t->rest, s.rest, w == 0);
+  }
   return t;
 }
 
@@ -510,5 +629,136 @@ void* cn_join_col(void* h, int col, int64_t* nbytes) {
 }
 
 void cn_join_free(void* h) { delete (JoinOutC*)h; }
+
+// ---------------------------------------------------------------------------
+// Analytic age-bin histograms: the exact expectation of the reference's
+// 100-draw Monte-Carlo binning (coal/coal.cpp:2244-2298), accumulated in
+// O(sites) with range-adds over bin edges + one prefix-sum per block.
+//
+// For a site with age interval [ab, ae] the per-bin mass is the overlap
+// of the uniform draw with each log-age bin; the cumulative mass at edge
+// e is piecewise linear in e with at most two breakpoints, so each site
+// contributes three range-adds (slope, slope*offset, constant) into
+// per-block difference arrays.  A final prefix-sum over the 186 edges
+// reconstructs the cumulative curve G and hist[k] = G[k+1]-G[k].
+// Semantics match pipeline/binning.py:bin_sites_analytic (the JAX device
+// path, kept for mesh-sharded runs); that implementation works in f32,
+// this one in f64 — tests compare the two within tolerance.
+// ---------------------------------------------------------------------------
+
+void cn_bin_analytic(
+    int64_t n, const double* ab, const double* ae, const double* ws,
+    const double* wn, const int32_t* blk, int64_t num_blocks, int nbins,
+    const double* edges /* nbins+1 */, double age, double bin_c,
+    double* shared, double* notshared, double* shared_emp,
+    double* notshared_emp /* each [num_blocks * nbins], zeroed by caller */) {
+  const int ne = nbins + 1;          // edge count
+  const int nd = nbins + 2;          // diff-array length (hi index may be ne)
+  const double e_last = edges[nbins];
+  const char* names[6] = {};
+  (void)names;
+  std::vector<double> d(6 * (size_t)num_blocks * nd, 0.0);
+  auto D = [&](int arr, int64_t b) {
+    return d.data() + ((size_t)arr * num_blocks + b) * nd;
+  };
+  // arr 0/1/2: shared slope / slope*offset / const
+  // arr 3/4/5: notshared slope / slope*offset / const
+  const double* eb = edges;
+  const double* ee = edges + ne;
+
+  for (int64_t i = 0; i < n; i++) {
+    const double a0 = ab[i], a1 = ae[i];
+    const double width = a1 - a0;
+    if (!(width > 0)) continue;
+    const int64_t b = blk[i];
+    if (b < 0 || b >= num_blocks) continue;
+    if (a0 <= age) {
+      // --- emp site (coal.cpp:2249-2256): shared/notshared mass into the
+      // emp matrices keyed by bin(age_end); notshared also distributed by
+      // the clamped-CDF law T = max(U[a0,a1], age) ---
+      int bin2 = 0;
+      if (a1 > 0) {
+        long v = (long)std::floor(std::log(10.0 * a1) * bin_c + 0.5) + 1;
+        bin2 = v < 0 ? 0 : (v > nbins - 1 ? nbins - 1 : (int)v);
+      }
+      shared_emp[b * nbins + bin2] += ws[i];
+      notshared_emp[b * nbins + bin2] += wn[i];
+
+      const double w = wn[i];
+      const double s = w / width;
+      int e_lo = (int)(std::upper_bound(eb, ee, a0) - eb);
+      int e_hi = (int)(std::lower_bound(eb, ee, a1) - eb);
+      int e_age = (int)(std::upper_bound(eb, ee, age) - eb);
+      int lo2 = e_lo > e_age ? e_lo : e_age;
+      int hi2 = e_hi > e_age ? e_hi : e_age;
+      double* Ds = D(3, b);
+      double* Do = D(4, b);
+      double* Dc = D(5, b);
+      if (lo2 < hi2) {
+        Ds[lo2] += s;    Ds[hi2] -= s;
+        Do[lo2] += s * a0;  Do[hi2] -= s * a0;
+      }
+      if (hi2 < ne) Dc[hi2] += w;
+      // beyond-table mass clips into the last bin (binning.py:154-157)
+      double f_last = e_last > age
+                          ? (e_last <= a0 ? 0.0
+                                          : (e_last >= a1 ? 1.0
+                                                          : (e_last - a0) / width))
+                          : 0.0;
+      notshared[b * nbins + (nbins - 1)] += w * (1.0 - f_last);
+    } else {
+      // --- regular site: U[a0,a1] conditional on landing in-table
+      // (the reference rejects+redraws out-of-table ages) ---
+      const double z = (a1 < e_last ? a1 : e_last) - a0;
+      if (!(z > 0)) continue;
+      int e_lo = (int)(std::upper_bound(eb, ee, a0) - eb);
+      int e_hi = (int)(std::lower_bound(eb, ee, a1) - eb);
+      const double ss = ws[i] / z, sn = wn[i] / z;
+      double* S0 = D(0, b);
+      double* S1 = D(1, b);
+      double* S2 = D(2, b);
+      double* N0 = D(3, b);
+      double* N1 = D(4, b);
+      double* N2 = D(5, b);
+      if (e_lo < e_hi) {
+        S0[e_lo] += ss;  S0[e_hi] -= ss;
+        S1[e_lo] += ss * a0;  S1[e_hi] -= ss * a0;
+        N0[e_lo] += sn;  N0[e_hi] -= sn;
+        N1[e_lo] += sn * a0;  N1[e_hi] -= sn * a0;
+      }
+      if (e_hi < ne) {
+        S2[e_hi] += ws[i];
+        N2[e_hi] += wn[i];
+      }
+    }
+  }
+
+  // prefix-sum the difference arrays into cumulative curves and diff
+  // adjacent edges into per-bin mass
+  for (int64_t b = 0; b < num_blocks; b++) {
+    const double* S0 = D(0, b);
+    const double* S1 = D(1, b);
+    const double* S2 = D(2, b);
+    const double* N0 = D(3, b);
+    const double* N1 = D(4, b);
+    const double* N2 = D(5, b);
+    double s_sl = 0, s_of = 0, s_ct = 0, n_sl = 0, n_of = 0, n_ct = 0;
+    double g_s_prev = 0, g_n_prev = 0;
+    for (int e = 0; e < ne; e++) {
+      s_sl += S0[e]; s_of += S1[e]; s_ct += S2[e];
+      n_sl += N0[e]; n_of += N1[e]; n_ct += N2[e];
+      const double g_s = s_sl * edges[e] - s_of + s_ct;
+      const double g_n = n_sl * edges[e] - n_of + n_ct;
+      if (e > 0) {
+        const double hs = g_s - g_s_prev;
+        const double hn = g_n - g_n_prev;
+        shared[b * nbins + (e - 1)] += hs > 0 ? hs : 0.0;
+        notshared[b * nbins + (e - 1)] += hn > 0 ? hn : 0.0;
+      }
+      g_s_prev = g_s;
+      g_n_prev = g_n;
+    }
+  }
+}
 
 }  // extern "C"

@@ -57,6 +57,38 @@ def _next_bucket(n: int) -> int:
     return b
 
 
+def bin_sites_analytic_native(sites: JoinedSites, age: float = 0.0):
+    """Native (C++) analytic binning: O(sites) range-adds + prefix sums,
+    exact f64 (io.cpp:cn_bin_analytic).  Returns None when the native
+    library is unavailable; semantics match :func:`bin_sites_analytic`
+    (which computes the same expectation in f32 on the device and stays
+    the path for mesh-sharded runs)."""
+    import ctypes
+
+    from colate_tpu import native
+    from colate_tpu.config import AGE_BIN_C
+
+    lib = native.load()
+    if lib is None:
+        return None
+    nb = sites.num_blocks
+    n = len(sites)
+    nbins = NUM_AGE_BINS
+    edges = np.ascontiguousarray(age_bin_edges())
+    ab = np.ascontiguousarray(sites.age_begin, np.float64)
+    ae = np.ascontiguousarray(sites.age_end, np.float64)
+    ws = np.ascontiguousarray(sites.w_shared, np.float64)
+    wn = np.ascontiguousarray(sites.w_notshared, np.float64)
+    blk = np.ascontiguousarray(sites.block_id, np.int32)
+    outs = [np.zeros((max(nb, 1), nbins), np.float64) for _ in range(4)]
+    p = lambda a: ctypes.c_void_p(a.ctypes.data)
+    lib.cn_bin_analytic(
+        n, p(ab), p(ae), p(ws), p(wn), p(blk), max(nb, 1), nbins, p(edges),
+        float(age), AGE_BIN_C, *[p(o) for o in outs]
+    )
+    return tuple(o[:nb] for o in outs)
+
+
 def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
     """Expected histograms over the MC sampling (device-friendly math).
 
