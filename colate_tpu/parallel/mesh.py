@@ -27,10 +27,16 @@ from colate_tpu.config import NUM_AGE_BINS, age_bin_edges
 
 
 def make_mesh(n_devices: int | None = None):
+    """1-D mesh over the default backend's devices; when it has too few
+    (e.g. the single tunnelled TPU chip) fall back to the virtual
+    multi-device CPU platform (``--xla_force_host_platform_device_count``)
+    so sharded programs always compile+execute with real collectives."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        devs = jax.local_devices(backend="cpu")
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("d",))

@@ -1,5 +1,6 @@
 """Round-trip tests for the file formats."""
 
+import pytest
 import numpy as np
 
 from colate_tpu.formats.coal import CoalFile, write_mut_coal
@@ -75,3 +76,22 @@ def test_fasta_mask(tmp_path):
     mask = read_mask(p)
     assert mask[2] == ord("N")
     assert mask[0] == ord("P")
+
+
+def test_annotate_ages_matches_tree_coordinates(tmp_path):
+    """Mutations::GetAge (mutations.cpp:28-54): in an internally
+    consistent tree, the left-descent branch-length sum equals the node's
+    age, so age_begin == node age and age_end == parent age."""
+    from helpers.synth_anc import make_anc_mut
+    from colate_tpu.formats.anc import node_ages
+    from colate_tpu.formats.mut import annotate_ages
+
+    anc, tbl = make_anc_mut(str(tmp_path / "ga"), "1", N=8, num_trees=11, seed=3)
+    ages = node_ages(anc)  # [T, M] f32 coordinates
+    annotate_ages(tbl, anc)
+    for i in range(len(tbl)):
+        t = int(tbl.tree[i])
+        b = tbl.branch[i][0]
+        assert tbl.age_begin[i] == pytest.approx(float(ages[t, b]), rel=1e-5)
+        par = int(anc.parent[t, b])
+        assert tbl.age_end[i] == pytest.approx(float(ages[t, par]), rel=1e-5)
