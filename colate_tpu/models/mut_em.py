@@ -145,6 +145,7 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
             timings["binning"] = 0.0
         else:
             mc_hists = None  # fused split-mode parity histograms
+            fused = None  # fused native tmp-mode histograms
             # dispatch order mirrors the reference (coal.cpp:3175-3317)
             if cfg.target_bcf and cfg.reference_bcf:
                 from colate_tpu.pipeline.join_vcf import join_vcfvcf
@@ -216,44 +217,71 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 )
             elif cfg.target_tmp and cfg.reference_tmp:
                 # the decoders are independent native calls (GIL released):
-                # overlap the per-chromosome .mut parses and the two site
-                # streams on host threads
+                # overlap the two site streams (and masks) on host threads
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=8) as ex:
-                    fut_mut = [ex.submit(MutTable.read, f) for f in mut_files]
                     fut_t = ex.submit(read_colate_in, cfg.target_tmp)
                     fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
-                    mut_tables = [f.result() for f in fut_mut]
+                    fut_tm = (
+                        [ex.submit(read_mask, f) for f in tmask_files]
+                        if tmask_files
+                        else None
+                    )
+                    fut_rm = (
+                        [ex.submit(read_mask, f) for f in rmask_files]
+                        if rmask_files
+                        else None
+                    )
                     target = fut_t.result()
                     reference = fut_r.result()
-                tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
-                rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
-                sites = join_tmptmp(
-                    chroms, mut_tables, target, reference, tmasks, rmasks, age, ref_age
-                )
+                    tmasks = [f.result() for f in fut_tm] if fut_tm else None
+                    rmasks = [f.result() for f in fut_rm] if fut_rm else None
+                sites = None
+                if not parity:
+                    # fully fused native path: .mut parse + filters + cursor
+                    # join + analytic binning in one threaded call
+                    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+                    fused = fused_tmptmp_hists(
+                        chroms, mut_files, target, reference, tmasks, rmasks,
+                        age, ref_age,
+                    )
+                    if fused is not None:
+                        (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
+                        timings["parse"] = time.time() - t0
+                        timings["binning"] = 0.0
+                if sites is None and (parity or fused is None):
+                    mut_tables = [MutTable.read(f) for f in mut_files]
+                    sites = join_tmptmp(
+                        chroms, mut_tables, target, reference, tmasks, rmasks,
+                        age, ref_age,
+                    )
             else:
                 raise ValueError(
                     "mode mut needs target_bcf [+reference_bcf], "
                     "target_bam+reference_bcf, target_bam+reference_bam, or "
                     "target_tmp+reference_tmp"
                 )
-            num_sites = len(sites)
-            num_blocks = sites.num_blocks
-            timings["parse"] = time.time() - t0
+            if sites is not None:
+                num_sites = len(sites)
+                num_blocks = sites.num_blocks
+                timings["parse"] = time.time() - t0
 
-            t0 = time.time()
-            # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
-            if mc_hists is not None:  # split-mode parity: already binned fused
-                sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
-            elif parity:
-                sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(sites, rng, age=0.0)
-            else:
-                hists = bin_sites_analytic_native(sites, age=0.0)
-                if hists is None:
-                    hists = bin_sites_analytic(sites, age=0.0)
-                sh_b, ns_b, se_b, ne_b = hists
-            timings["binning"] = time.time() - t0
+                t0 = time.time()
+                # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
+                if mc_hists is not None:  # split-mode parity: already binned
+                    sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
+                elif parity:
+                    sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(
+                        sites, rng, age=0.0
+                    )
+                else:
+                    hists = bin_sites_analytic_native(sites, age=0.0)
+                    if hists is None:
+                        hists = bin_sites_analytic(sites, age=0.0)
+                    sh_b, ns_b, se_b, ne_b = hists
+                timings["binning"] = time.time() - t0
             if ckpt_fp is not None:
                 from colate_tpu.utils.checkpoint import save_suffstats
 
@@ -288,21 +316,31 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     # ---- EM ----
     t0 = time.time()
     em_dtype = cfg.em_dtype
-    if em_dtype == "auto":
-        import jax
+    out = None
+    if em_dtype == "auto" and not parity and B <= 64:
+        # small-batch EMs are pure dispatch latency on an accelerator;
+        # the host provider (ops/em.py:run_em_native, f64) takes them
+        from colate_tpu.ops.em import run_em_native
 
-        em_dtype = (
-            "float64"
-            if (parity or jax.default_backend() == "cpu")
-            else "float32"
+        out = run_em_native(epochs, init_rates, shared_counts, notshared_counts)
+    if out is not None:
+        rates, logl, iters = out
+    else:
+        if em_dtype == "auto":
+            import jax
+
+            em_dtype = (
+                "float64"
+                if (parity or jax.default_backend() == "cpu")
+                else "float32"
+            )
+        rates, logl, iters = run_em(
+            jnp.asarray(epochs),
+            jnp.asarray(init_rates),
+            jnp.asarray(shared_counts),
+            jnp.asarray(notshared_counts),
+            dtype=em_dtype,
         )
-    rates, logl, iters = run_em(
-        jnp.asarray(epochs),
-        jnp.asarray(init_rates),
-        jnp.asarray(shared_counts),
-        jnp.asarray(notshared_counts),
-        dtype=em_dtype,
-    )
     rates = np.asarray(rates)
     logl = np.asarray(logl)
     iters = np.asarray(iters)

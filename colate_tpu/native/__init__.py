@@ -22,10 +22,14 @@ _lib = None
 _tried = False
 
 
+_SOURCES = ("io.cpp", "em.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_HERE, "io.cpp")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO, "-lz",
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", *srcs, "-o", _SO,
+        "-lz", "-lpthread",
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -40,8 +44,8 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-        os.path.join(_HERE, "io.cpp")
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+        os.path.getmtime(os.path.join(_HERE, s)) for s in _SOURCES
     ):
         if not _build():
             if os.environ.get("COLATE_NATIVE_REQUIRED"):
@@ -99,6 +103,34 @@ def load():
         + [ctypes.c_int64, ctypes.c_int, P]  # num_blocks, nbins, edges
         + [ctypes.c_double, ctypes.c_double] # age, bin C
         + [P] * 4                            # output histograms
+    )
+    lib.cn_tmptmp_fused.restype = ctypes.c_void_p
+    lib.cn_tmptmp_fused.argtypes = (
+        [ctypes.c_int, P, P]                 # n_chr, mut path blob+offsets
+        + [P, P, P, P]                       # tmask blob/off, rmask blob/off
+        + [P] * 5 + [ctypes.c_int64, P]      # target cols, n, segments
+        + [P] * 5 + [ctypes.c_int64, P]      # reference cols, n, segments
+        + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]  # age, ref_age, nbpb
+        + [ctypes.c_int, P, ctypes.c_double] # nbins, edges, bin C
+        + [ctypes.c_char_p, ctypes.c_int]    # errbuf
+    )
+    lib.cn_fused_num_blocks.restype = ctypes.c_int64
+    lib.cn_fused_num_blocks.argtypes = [ctypes.c_void_p]
+    lib.cn_fused_num_sites.restype = ctypes.c_int64
+    lib.cn_fused_num_sites.argtypes = [ctypes.c_void_p]
+    lib.cn_fused_hist.restype = ctypes.c_void_p
+    lib.cn_fused_hist.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_fused_free.argtypes = [ctypes.c_void_p]
+    lib.cn_em_run.restype = None
+    lib.cn_em_run.argtypes = (
+        [P, ctypes.c_int, P]                 # epochs, E, init_rates
+        + [P, P, ctypes.c_int, ctypes.c_int] # sc, nc, B, nbins
+        + [P, P]                             # t ages, k epoch indices
+        + [ctypes.c_int, ctypes.c_int]       # max_iter, min_iter
+        + [ctypes.c_double, ctypes.c_double] # conv_ratio, rate_floor
+        + [P, P, P]                          # out rates, logl, iters
     )
     _lib = lib
     return _lib

@@ -24,6 +24,7 @@
 // (coal.cpp:2150-2176): valid iff mutation_type is "X/Y" with
 // X in {A,C,G,T,0} and Y in {A,C,G,T,1}.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -760,5 +761,272 @@ void cn_bin_analytic(
     }
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused tmptmp pipeline: per chromosome, parse the .mut file (only the
+// columns mode `mut` needs), apply the row filters (coal.cpp:2150-2176),
+// walk the precomputed target/reference site-stream segments with the
+// reference's consumed-record cursor (coal.cpp:2183-2242), and bin the
+// accepted sites analytically — one native call, chromosomes in
+// parallel on host threads.  Byte-identical semantics to the separate
+// cn_mut_read → Python filter → cn_join_tmptmp → cn_bin_analytic
+// pipeline (tests/test_native_io.py compares the two); fused to skip
+// materialising the 20-column .mut table and the intermediate site
+// arrays on the hot path.
+//
+// Stream segments are computed by the caller from the run-length
+// chromosome index: for each chromosome, [lo, hi) is the matching run
+// at/after the cursor, with the record at `lo` already consumed by the
+// chromosome scan — the cursor's cross-chromosome state reduces to
+// exactly this (pipeline/join.py:_Cursor.segment).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FusedChrom {
+  std::vector<double> ab, ae, ws, wn;
+  std::vector<int32_t> blk;
+  int64_t blocks_used = 1;  // >=1: every chromosome ends one block
+  int64_t num_sites = 0;
+  bool ok = true;
+  std::string err;
+};
+
+struct FusedOutC {
+  std::vector<double> sh, ns, se, ne;  // [num_blocks * nbins]
+  int64_t num_blocks = 0;
+  int64_t num_sites = 0;
+};
+
+// mask lookup (coal.cpp:2163-2168): pass when pos >= len or mask[pos-1]=='P'
+inline bool mask_pass(const uint8_t* m, int64_t len, int64_t pos) {
+  if (!m || pos >= len) return true;
+  int64_t i = pos - 1;
+  if (i < 0) i = 0;
+  if (i >= len) i = len - 1;
+  return m[i] == 'P';
+}
+
+void fused_one_chrom(
+    const char* mut_path, const uint8_t* tmask, int64_t tmask_len,
+    const uint8_t* rmask, int64_t rmask_len,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
+    int64_t tlo, int64_t thi,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
+    int64_t rlo, int64_t rhi, double age, double ref_age, int64_t nbpb,
+    FusedChrom* out) {
+  std::vector<char> buf;
+  if (!slurp(mut_path, buf, out->err)) {
+    out->ok = false;
+    return;
+  }
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  const char* nl = (const char*)memchr(p, '\n', end - p);
+  if (!nl) return;  // empty table: header only
+  p = nl + 1;
+
+  int64_t ridx = rlo, tidx = tlo;  // current (consumed) record per stream
+  int64_t block_base = 0, nb_local = 0;
+
+  const char* f[12];
+  while (p < end) {
+    const char* e = (const char*)memchr(p, '\n', end - p);
+    if (!e) e = end;
+    if (e == p) {
+      p = e + 1;
+      continue;
+    }
+    int nf = 0;
+    f[0] = p;
+    const char* q = p;
+    while (nf < 11 && q < e) {
+      const char* s = (const char*)memchr(q, ';', e - q);
+      if (!s) break;
+      f[++nf] = s + 1;
+      q = s + 1;
+    }
+    p = e + 1;
+    if (nf < 11) {
+      out->err = "short .mut row";
+      out->ok = false;
+      return;
+    }
+    // --- row filters (coal.cpp:2150-2176), cheap fields first ---
+    if (parse_i64(f[7], f[8] - 1) != 0) continue;  // flipped
+    {                                              // mutation_type 'X/Y'
+      const char* m = f[10];
+      const char* s = (const char*)memchr(m, ';', e - m);
+      const char* me = s ? s : e;
+      if (me - m != 3 || m[1] != '/' || !anc_ok(m[0]) || !der_ok(m[2]))
+        continue;
+    }
+    {  // exactly one mapped branch
+      const char* b = f[5];
+      const char* be = f[6] - 1;
+      while (b < be && (*b == ' ' || *b == '\t')) b++;
+      if (b >= be) continue;  // zero branches
+      while (b < be && *b != ' ' && *b != '\t') b++;
+      while (b < be && (*b == ' ' || *b == '\t')) b++;
+      if (b < be) continue;  // second token
+    }
+    const double m_ab = parse_age(f[8], f[9] - 1);
+    const double m_ae = parse_age(f[9], f[10] - 1);
+    if (!(m_ab < m_ae) || m_ae < age) continue;
+    const int64_t pos = parse_i64(f[1], f[2] - 1);
+    if (!mask_pass(tmask, tmask_len, pos)) continue;
+    if (!mask_pass(rmask, rmask_len, pos)) continue;
+    const uint8_t anc = (uint8_t)f[10][0];
+    const uint8_t der = (uint8_t)f[10][2];
+
+    // --- reference stream cursor (coal.cpp:2183-2199) ---
+    int32_t DAF_ref = 0, AAF_ref = 0;
+    while (ridx < rhi && r_bp[ridx] < pos) {
+      if (ridx + 1 >= r_total) break;
+      ridx++;
+      AAF_ref = r_aaf[ridx];
+      DAF_ref = r_daf[ridx];
+    }
+    if (!(ridx < rhi && r_bp[ridx] == pos && r_anc[ridx] == anc &&
+          r_der[ridx] == der) ||
+        DAF_ref == 0)
+      continue;
+    const int32_t N_ref = DAF_ref + AAF_ref;
+
+    // --- target stream cursor (coal.cpp:2201-2222) ---
+    int32_t DAF_t = 0, AAF_t = 0;
+    while (tidx < thi && t_bp[tidx] < pos) {
+      if (tidx + 1 >= t_total) break;
+      tidx++;
+      AAF_t = t_aaf[tidx];
+      DAF_t = t_daf[tidx];
+    }
+    if (!(tidx < thi && t_bp[tidx] == pos && t_anc[tidx] == anc &&
+          t_der[tidx] == der))
+      continue;
+    const int32_t N_t = DAF_t + AAF_t;
+    if (N_t == 0) continue;
+
+    while (block_base + nbpb < pos) {
+      block_base += nbpb;
+      nb_local++;
+    }
+    // pseudo-diploid rounding in float (coal.cpp:2236-2242)
+    float f_DAF = (float)((float)DAF_t / (N_t / 2.0));
+    float f_AAF = (float)((float)AAF_t / (N_t / 2.0));
+    f_DAF = std::round(f_DAF);
+    f_AAF = std::round(f_AAF);
+    out->ab.push_back(m_ab < ref_age ? ref_age : m_ab);
+    out->ae.push_back(m_ae);
+    out->ws.push_back((double)f_DAF * DAF_ref / (double)N_ref);
+    out->wn.push_back((double)f_AAF * DAF_ref / (double)N_ref);
+    out->blk.push_back((int32_t)nb_local);
+  }
+  out->blocks_used = nb_local + 1;
+  out->num_sites = (int64_t)out->ab.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused per-chromosome mut-parse + filter + cursor-join + analytic
+// binning.  mut paths as a blob with n_chr+1 offsets; masks optional
+// (null offsets => none).  t_seg/r_seg are [n_chr][2] (lo, hi) record
+// ranges per chromosome.  Returns a FusedOutC handle.
+void* cn_tmptmp_fused(
+    int n_chr, const char* mpath_blob, const int64_t* mpath_off,
+    const uint8_t* tmask_blob, const int64_t* tmask_off,
+    const uint8_t* rmask_blob, const int64_t* rmask_off,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
+    const int64_t* t_seg,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
+    const int64_t* r_seg, double age, double ref_age, int64_t nbpb,
+    int nbins, const double* edges, double bin_c, char* errbuf, int errlen) {
+  std::vector<FusedChrom> parts(n_chr);
+  std::vector<std::string> paths(n_chr);
+  for (int c = 0; c < n_chr; c++)
+    paths[c].assign(mpath_blob + mpath_off[c],
+                    (size_t)(mpath_off[c + 1] - mpath_off[c]));
+
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if ((int)nt > n_chr) nt = (unsigned)n_chr;
+  std::atomic<int> next{0};
+  auto work = [&] {
+    for (;;) {
+      const int c = next.fetch_add(1);
+      if (c >= n_chr) return;
+      const uint8_t* tm = tmask_off ? tmask_blob + tmask_off[c] : nullptr;
+      const int64_t tml = tmask_off ? tmask_off[c + 1] - tmask_off[c] : 0;
+      const uint8_t* rm = rmask_off ? rmask_blob + rmask_off[c] : nullptr;
+      const int64_t rml = rmask_off ? rmask_off[c + 1] - rmask_off[c] : 0;
+      fused_one_chrom(paths[c].c_str(), tm, tml, rm, rml, t_bp, t_anc, t_der,
+                      t_aaf, t_daf, t_total, t_seg[2 * c], t_seg[2 * c + 1],
+                      r_bp, r_anc, r_der, r_aaf, r_daf, r_total, r_seg[2 * c],
+                      r_seg[2 * c + 1], age, ref_age, nbpb, &parts[c]);
+    }
+  };
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> th;
+    for (unsigned i = 0; i < nt; i++) th.emplace_back(work);
+    for (auto& x : th) x.join();
+  }
+  for (int c = 0; c < n_chr; c++)
+    if (!parts[c].ok) {
+      snprintf(errbuf, errlen, "%s: %s", paths[c].c_str(),
+               parts[c].err.c_str());
+      return nullptr;
+    }
+
+  auto* out = new FusedOutC();
+  for (int c = 0; c < n_chr; c++) out->num_blocks += parts[c].blocks_used;
+  const size_t hn = (size_t)out->num_blocks * nbins;
+  out->sh.assign(hn, 0.0);
+  out->ns.assign(hn, 0.0);
+  out->se.assign(hn, 0.0);
+  out->ne.assign(hn, 0.0);
+  int64_t off = 0;
+  for (int c = 0; c < n_chr; c++) {
+    FusedChrom& pc = parts[c];
+    out->num_sites += pc.num_sites;
+    if (pc.num_sites)
+      cn_bin_analytic(pc.num_sites, pc.ab.data(), pc.ae.data(), pc.ws.data(),
+                      pc.wn.data(), pc.blk.data(), pc.blocks_used, nbins,
+                      edges, age, bin_c, out->sh.data() + off * nbins,
+                      out->ns.data() + off * nbins, out->se.data() + off * nbins,
+                      out->ne.data() + off * nbins);
+    off += pc.blocks_used;
+  }
+  return out;
+}
+
+int64_t cn_fused_num_blocks(void* h) { return ((FusedOutC*)h)->num_blocks; }
+int64_t cn_fused_num_sites(void* h) { return ((FusedOutC*)h)->num_sites; }
+
+void* cn_fused_hist(void* h, int which, int64_t* nbytes) {
+  auto* t = (FusedOutC*)h;
+  std::vector<double>* v = nullptr;
+  switch (which) {
+    case 0: v = &t->sh; break;
+    case 1: v = &t->ns; break;
+    case 2: v = &t->se; break;
+    case 3: v = &t->ne; break;
+    default: *nbytes = -1; return nullptr;
+  }
+  *nbytes = (int64_t)(v->size() * 8);
+  return v->data();
+}
+
+void cn_fused_free(void* h) { delete (FusedOutC*)h; }
 
 }  // extern "C"

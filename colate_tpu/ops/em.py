@@ -223,6 +223,52 @@ def _m_step(rates_old, num_tot, den_tot):
     return jnp.where(idx >= 0, chosen[jnp.maximum(idx, 0)], 0.0)
 
 
+def run_em_native(
+    epochs,
+    init_rates,
+    shared_counts,
+    notshared_counts,
+    max_iter: int = EM_MAX_ITER,
+    min_iter: int = EM_MIN_ITER,
+):
+    """Host (C++) EM — the latency-bound execution provider.
+
+    Same fixed point and stopping rule as :func:`run_em`, evaluated in
+    f64 with an O(bins+epochs) factorised E-step (native/em.cpp).  A
+    B=1 EM is ~1000 sequential iterations over tiny tensors — pure
+    dispatch latency on an accelerator — so small-B runs go here and
+    large bootstrap batches / mesh-sharded runs use the JAX path.
+    Returns (rates [B,E], logl [B], iters [B]) or None when the native
+    library is unavailable."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    epochs = np.ascontiguousarray(epochs, np.float64)
+    E = epochs.shape[0]
+    sc = np.ascontiguousarray(shared_counts, np.float64)
+    nc = np.ascontiguousarray(notshared_counts, np.float64)
+    B, nbins = sc.shape
+    t = np.ascontiguousarray(age_bin_centers(), np.float64)
+    k = np.clip(
+        np.searchsorted(epochs, t, side="right") - 1, 0, E - 1
+    ).astype(np.int32)
+    init = np.ascontiguousarray(init_rates, np.float64)
+    out_r = np.zeros((B, E), np.float64)
+    out_l = np.zeros(B, np.float64)
+    out_i = np.zeros(B, np.int32)
+    p = lambda a: ctypes.c_void_p(a.ctypes.data)
+    lib.cn_em_run(
+        p(epochs), E, p(init), p(sc), p(nc), B, nbins, p(t), p(k),
+        int(max_iter), int(min_iter), float(EM_CONV_RATIO), float(COAL_RATE_FLOOR),
+        p(out_r), p(out_l), p(out_i),
+    )
+    return out_r, out_l, out_i
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("max_iter", "min_iter", "dtype", "check_every"),

@@ -403,6 +403,124 @@ def _join_tmptmp_native(
     return out
 
 
+def _static_segments(stream: SiteStream, chroms: list[str]) -> np.ndarray | None:
+    """Per-chromosome [lo, hi) record ranges of the cursor walk, computed
+    statically from the run-length index.
+
+    The dynamic cursor's cross-chromosome state reduces to "segment =
+    first run named `chrom` at/after the previous match, else empty
+    forever" (see _Cursor.segment + the overshoot rule in
+    _advance_match); that only holds when chromosome names don't repeat
+    in the request, so duplicates return None (caller falls back)."""
+    if len(set(chroms)) != len(chroms):
+        return None
+    starts, names = stream.runs()
+    n = len(stream)
+    segs = np.empty((len(chroms), 2), np.int64)
+    r = 0
+    exhausted = False
+    for i, c in enumerate(chroms):
+        if exhausted:
+            segs[i] = (n, n)
+            continue
+        rr = r
+        while rr < len(names) and names[rr] != c:
+            rr += 1
+        if rr >= len(names):
+            exhausted = True
+            segs[i] = (n, n)
+            continue
+        segs[i] = (int(starts[rr]), int(starts[rr + 1]))
+        r = rr + 1
+    return segs
+
+
+def fused_tmptmp_hists(
+    chrom_names: list[str],
+    mut_files: list[str],
+    target: SiteStream,
+    reference: SiteStream,
+    target_masks: list[np.ndarray] | None,
+    reference_masks: list[np.ndarray] | None,
+    age: float = 0.0,
+    ref_age: float = 0.0,
+):
+    """One native call for the whole tmp-mode sufficient-statistic build:
+    .mut parse + row filters + cursor join + analytic binning, fused and
+    threaded over chromosomes (native/io.cpp:cn_tmptmp_fused).
+
+    Returns ((shared, notshared, shared_emp, notshared_emp) block
+    histograms, num_sites, num_blocks), or None when the native library
+    is unavailable / segments can't be statically derived — callers fall
+    back to the staged join_tmptmp + bin_sites_analytic path, which is
+    also the equivalence oracle (tests/test_native_io.py)."""
+    import ctypes
+
+    from colate_tpu import native
+    from colate_tpu.config import AGE_BIN_C, NUM_AGE_BINS, age_bin_edges
+
+    lib = native.load()
+    if lib is None:
+        return None
+    t_seg = _static_segments(target, chrom_names)
+    r_seg = _static_segments(reference, chrom_names)
+    if t_seg is None or r_seg is None:
+        return None
+
+    pblob = "".join(mut_files).encode()
+    poff = np.zeros(len(mut_files) + 1, np.int64)
+    np.cumsum([len(f.encode()) for f in mut_files], out=poff[1:])
+    pblob_a = np.frombuffer(pblob, np.uint8) if pblob else np.zeros(0, np.uint8)
+
+    def mask_blob(masks):
+        if masks is None or all(m is None for m in masks):
+            return None, None
+        parts = [
+            np.zeros(0, np.uint8) if m is None else np.ascontiguousarray(m, np.uint8)
+            for m in masks
+        ]
+        off = np.zeros(len(parts) + 1, np.int64)
+        np.cumsum([p.shape[0] for p in parts], out=off[1:])
+        blob = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        return blob, off
+
+    tm_blob, tm_off = mask_blob(target_masks)
+    rm_blob, rm_off = mask_blob(reference_masks)
+
+    t = _stream_ctypes(target)
+    r = _stream_ctypes(reference)
+    edges = np.ascontiguousarray(age_bin_edges())
+    errbuf = ctypes.create_string_buffer(512)
+
+    def pp(a):
+        return ctypes.c_void_p(a.ctypes.data) if isinstance(a, np.ndarray) else a
+
+    h = lib.cn_tmptmp_fused(
+        len(chrom_names), pp(pblob_a), pp(poff),
+        pp(tm_blob), pp(tm_off), pp(rm_blob), pp(rm_off),
+        pp(t[0]), pp(t[1]), pp(t[2]), pp(t[3]), pp(t[4]), t[5],
+        pp(np.ascontiguousarray(t_seg)),
+        pp(r[0]), pp(r[1]), pp(r[2]), pp(r[3]), pp(r[4]), r[5],
+        pp(np.ascontiguousarray(r_seg)),
+        float(age), float(ref_age), NUM_BASES_PER_BLOCK,
+        NUM_AGE_BINS, pp(edges), AGE_BIN_C, errbuf, len(errbuf),
+    )
+    if not h:
+        raise FileNotFoundError(errbuf.value.decode() or "cn_tmptmp_fused failed")
+    try:
+        num_blocks = int(lib.cn_fused_num_blocks(h))
+        num_sites = int(lib.cn_fused_num_sites(h))
+        hists = tuple(
+            native.col_array(lib, lib.cn_fused_hist, h, i, np.float64).reshape(
+                num_blocks, NUM_AGE_BINS
+            )
+            for i in range(4)
+        )
+    finally:
+        lib.cn_fused_free(h)
+    return hists, num_sites, num_blocks
+
+
 def allele_codes(mt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(anc uint8, der uint8, valid bool) for a MutTable, using the
     native reader's precomputed codes when present."""
