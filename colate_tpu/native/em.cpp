@@ -37,7 +37,7 @@ namespace {
 
 struct EpochTables {
   int E;
-  std::vector<double> dt, H, S, em1, edH, invlam, P, T1, cumP, tau, c1;
+  std::vector<double> dt, H, S, em1, edH, invlam, P, T1, tau;
   // dt[e]      epoch widths (dt[E-1]=0, open-ended)
   // H[e]       cumulative hazard at epoch starts
   // S[e]       e^{-H[e]}
@@ -45,14 +45,12 @@ struct EpochTables {
   // edH[e]     e^{-lam_e dt_e}
   // P[e]       P(T in epoch e) = S_e * em1_e   (last: S*[lam>0])
   // T1[e]      E[T 1{T in e}]
-  // cumP[e]    inclusive prefix of P
   // tau[e]     sum_{e'>=e} e^{-(H_e' - H_e)} em1g_e'  (hazard-relative tail)
-  // c1[e]      T1 - t_e P - dt_e cumP  (shared e<k denominator core)
   void resize(int e) {
     E = e;
     dt.resize(E); H.resize(E); S.resize(E); em1.resize(E); edH.resize(E);
-    invlam.resize(E); P.resize(E); T1.resize(E); cumP.resize(E);
-    tau.resize(E + 1); c1.resize(E);
+    invlam.resize(E); P.resize(E); T1.resize(E);
+    tau.resize(E + 1);
   }
 };
 
@@ -84,19 +82,12 @@ void build_tables(const double* epochs, const double* lam, EpochTables& tb) {
                    : 0.0;
   tb.T1[E - 1] =
       lam[E - 1] > 0 ? (epochs[E - 1] + tb.invlam[E - 1]) * tb.S[E - 1] : 0.0;
-  double c = 0.0;
-  for (int e = 0; e < E; e++) {
-    c += tb.P[e];
-    tb.cumP[e] = c;
-  }
   // hazard-relative tail mass: tau[e] = em1g[e] + edH[e] * tau[e+1]
   tb.tau[E] = 0.0;
   for (int e = E - 1; e >= 0; e--) {
     const double em1g = (e == E - 1) ? (lam[e] > 0 ? 1.0 : 0.0) : tb.em1[e];
     tb.tau[e] = em1g + tb.edH[e] * tb.tau[e + 1];
   }
-  for (int e = 0; e < E; e++)
-    tb.c1[e] = tb.T1[e] - epochs[e] * tb.P[e] - tb.dt[e] * tb.cumP[e];
 }
 
 // One EM iteration for one replicate: fills num_tot/den_tot [E] and
@@ -107,7 +98,7 @@ double em_iteration(const double* epochs, const double* lam, int E,
                     const double* sc, const double* nc, EpochTables& tb,
                     std::vector<double>& num_tot, std::vector<double>& den_tot,
                     std::vector<double>& buckA,  // shared: sum sc/Z at k
-                    std::vector<double>& buckW,  // shared: sum sc at k
+                    std::vector<double>& buckG,  // shared: sum sc*Pk-/Z at k
                     std::vector<double>& buckN,  // notshared: sum nc at k
                     std::vector<double>& buckMm, // notshared scaled mantissa
                     std::vector<double>& buckMs  // notshared scale shift
@@ -116,7 +107,7 @@ double em_iteration(const double* epochs, const double* lam, int E,
   for (int e = 0; e < E; e++) {
     num_tot[e] = 0.0;
     den_tot[e] = 0.0;
-    buckA[e] = buckW[e] = buckN[e] = 0.0;
+    buckA[e] = buckG[e] = buckN[e] = 0.0;
     buckMm[e] = 0.0;
     buckMs[e] = -HUGE_VAL;
   }
@@ -137,16 +128,16 @@ double em_iteration(const double* epochs, const double* lam, int E,
     if (Z > 0.0 && w_s != 0.0) {
       const double zi = 1.0 / Z;
       buckA[kb] += w_s * zi;
-      buckW[kb] += w_s;
+      const double pk_zi = Pk_m * zi;
+      buckG[kb] += w_s * pk_zi;
       const double T1k_m =
           lam_k > 0
               ? tb.S[kb] * ((tb_ + tb.invlam[kb]) * em1_lo - (tb_ - epochs[kb]))
               : 0.0;
-      num_tot[kb] += w_s * Pk_m * zi;
-      const double cum_prev = kb > 0 ? tb.cumP[kb - 1] : 0.0;
-      double integ_k = 1.0 - (cum_prev + Pk_m) * zi;
-      if (integ_k < 0.0) integ_k = 0.0;
-      double den_k = (T1k_m - epochs[kb] * Pk_m) * zi + tb.dt[kb] * integ_k;
+      num_tot[kb] += w_s * pk_zi;
+      // no conditional mass remains above epoch k when T < t (suffix-sum
+      // form: the e==k exposure tail is exactly zero)
+      double den_k = (T1k_m - epochs[kb] * Pk_m) * zi;
       if (den_k < 0.0) den_k = 0.0;
       den_tot[kb] += w_s * den_k;
       logl += w_s * std::log(Z);
@@ -173,8 +164,8 @@ double em_iteration(const double* epochs, const double* lam, int E,
       const double zri = 1.0 / zrel;
       buckN[kb] += w_n;
       num_tot[kb] += w_n * Pk_p * zri;
-      double integ_k = 1.0 - Pk_p * zri;
-      if (integ_k < 0.0) integ_k = 0.0;
+      // remaining mass above k as the suffix tail (never 1 - Pk/zrel)
+      const double integ_k = edH_hi * tb.tau[kb + 1] * zri;
       double den_k = (T1k_p - epochs[kb] * Pk_p) * zri + tb.dt[kb] * integ_k;
       if (den_k < 0.0) den_k = 0.0;
       den_tot[kb] += w_n * den_k;
@@ -192,14 +183,18 @@ double em_iteration(const double* epochs, const double* lam, int E,
   }
 
   // ---- fold the buckets into per-epoch totals ----
-  // shared (epochs e < k): suffix sums over buckets k>e
-  double A = 0.0, W = 0.0;
+  // shared (epochs e < k): suffix sums over buckets k>e.  The exposure
+  // tail sum_{e<e'<k} P[e'] enters through the F recurrence
+  // F(e-1) = F(e) + P[e]*A_gt[e] — all additions of nonnegative terms,
+  // so no 1-cumsum cancellation at large hazards.
+  double A = 0.0, G = 0.0, F = 0.0;
   for (int e = E - 1; e >= 0; e--) {
     // buckets at k=e contribute to epochs strictly below e
     num_tot[e] += tb.P[e] * A;
-    den_tot[e] += tb.c1[e] * A + tb.dt[e] * W;
+    den_tot[e] += (tb.T1[e] - epochs[e] * tb.P[e]) * A + tb.dt[e] * (F + G);
+    F += tb.P[e] * A;
     A += buckA[e];
-    W += buckW[e];
+    G += buckG[e];
   }
   // notshared (epochs e > k): prefix accumulation with running rescale
   double m = 0.0, s = -HUGE_VAL;
@@ -270,12 +265,12 @@ void em_one_replicate(const double* epochs, int E, const double* init_rates,
   EpochTables tb;
   tb.resize(E);
   std::vector<double> rates(init_rates, init_rates + E), new_rates(E);
-  std::vector<double> num(E), den(E), bA(E), bW(E), bN(E), bMm(E), bMs(E);
+  std::vector<double> num(E), den(E), bA(E), bG(E), bN(E), bMm(E), bMs(E);
   double ll_prev = -HUGE_VAL, ll = -HUGE_VAL;
   int it = 0, iters = 0;
   while (it < max_iter) {
     ll = em_iteration(epochs, rates.data(), E, t, k, nbins, sc, nc, tb, num,
-                      den, bA, bW, bN, bMm, bMs);
+                      den, bA, bG, bN, bMm, bMs);
     m_step(rates.data(), num.data(), den.data(), E, floor_, new_rates.data());
     rates.swap(new_rates);
     const double ratio = ll / ll_prev;

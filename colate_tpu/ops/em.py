@@ -112,7 +112,13 @@ def _e_step_all_bins(epochs, rates, t, k):
     zinv = jnp.where(guard_s, 1.0 / jnp.where(guard_s, Z_s, 1.0), 0.0)
     post = num_lin * zinv[:, None]
     texp = T1v * zinv[:, None]
-    integ = jnp.clip(1.0 - jnp.cumsum(post, axis=1), 0.0, None)
+    # remaining conditional mass above epoch e — as the SUFFIX sum of the
+    # nonnegative per-epoch masses, never as 1-cumsum: the complement
+    # cancels catastrophically once the cumulative hazard is large, and
+    # dt_e amplifies the noise (the reference's log-space A/B integrals
+    # are immune; this is the linear-space equivalent)
+    srev = jnp.flip(jnp.cumsum(jnp.flip(num_lin, 1), axis=1), 1)
+    integ = (srev - num_lin) * zinv[:, None]
     den = texp - epochs[None, :] * post + dt_full[None, :] * integ
     # open-ended last epoch has no tail term (dt_full[-1]=0 handles it);
     # epochs beyond k are untouched by the reference (stay 0)
@@ -169,7 +175,11 @@ def _e_step_all_bins(epochs, rates, t, k):
     zrel_inv = jnp.where(guard_n, 1.0 / jnp.where(guard_n, zrel, 1.0), 0.0)
     post_n = raw_n * zrel_inv[:, None]
     texp_n = raw_t * zrel_inv[:, None]
-    integ_n = jnp.clip(1.0 - jnp.cumsum(post_n, axis=1), 0.0, None)
+    # suffix-sum form for the same reason as the shared branch; for
+    # epochs below k the full zrel suffix recovers integ=1 (epoch-width
+    # denominators, coal_EM.cpp:437-440)
+    srev_n = jnp.flip(jnp.cumsum(jnp.flip(raw_n, 1), axis=1), 1)
+    integ_n = (srev_n - raw_n) * zrel_inv[:, None]
     den_n = texp_n - epochs[None, :] * post_n + dt_full[None, :] * integ_n
     den_n = jnp.clip(den_n, 0.0, None)
     num_n = jnp.where(guard_n[:, None], post_n, 0.0)

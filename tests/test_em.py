@@ -205,3 +205,64 @@ def test_e_step_sampled_degenerate_interval_matches_point():
     for a, b in zip(point, sampled[:-1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(sampled[-1]), np.asarray(t))
+
+
+def test_run_em_native_matches_jax_f64():
+    """The host EM provider (native/em.cpp, factorised E-step) must track
+    the JAX f64 EM: same iteration counts, rates to f64 round-off."""
+    from colate_tpu import native
+    from colate_tpu.ops.em import run_em_native
+    from colate_tpu.ops.epochs import epochs_from_bins
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    epochs_np, _ = epochs_from_bins("3,7,0.2", 28.0, 0.0)
+    E = epochs_np.shape[0]
+    g = np.random.default_rng(42)
+    B = 3
+    sc = g.uniform(0, 100, (B, 185))
+    nc = g.uniform(0, 100, (B, 185))
+    sc[:, :7] = 0.0  # empty young bins (common in real data)
+    nc[:, -5:] = 0.0
+    sc[2] *= 1e-6  # tiny-count replicate
+    init = np.full(E, 1 / 20000.0)
+    out = run_em_native(epochs_np, init, sc, nc)
+    assert out is not None
+    rn, ln, itn = out
+    rj, lj, itj = run_em(
+        jnp.asarray(epochs_np), jnp.asarray(init),
+        jnp.asarray(sc), jnp.asarray(nc), dtype="float64",
+    )
+    rj, lj, itj = np.asarray(rj), np.asarray(lj), np.asarray(itj)
+    np.testing.assert_array_equal(itn, itj)
+    np.testing.assert_allclose(rn, rj, rtol=1e-9, atol=1e-300)
+    np.testing.assert_allclose(ln, lj, rtol=1e-12)
+
+
+def test_run_em_native_ancient_zero_epoch():
+    """Epoch grids with a zeroed young epoch (ancient samples) and counts
+    concentrated in old bins exercise the hazard-overflow rescale."""
+    from colate_tpu import native
+    from colate_tpu.ops.em import run_em_native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    epochs_np = np.array([0.0, 100.0, 1000.0, 5000.0, 50000.0, 1e6, 1e8 / 28.0])
+    E = epochs_np.shape[0]
+    t = age_bin_centers()
+    # strong signal: high rates force huge cumulative hazards at old ages
+    p = 1 - np.exp(-np.minimum(5e-3 * t, 700))
+    sc = (500 * p)[None, :]
+    nc = (500 * (1 - p))[None, :]
+    init = np.full(E, 1 / 200.0)  # large initial rate -> immediate overflow risk
+    out = run_em_native(epochs_np, init, sc, nc)
+    assert out is not None
+    rn, ln, itn = out
+    rj, lj, itj = run_em(
+        jnp.asarray(epochs_np), jnp.asarray(init),
+        jnp.asarray(sc), jnp.asarray(nc), dtype="float64",
+    )
+    rj = np.asarray(rj)
+    assert np.all(np.isfinite(rn))
+    np.testing.assert_array_equal(itn, np.asarray(itj))
+    np.testing.assert_allclose(rn, rj, rtol=1e-8)

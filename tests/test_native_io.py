@@ -102,3 +102,96 @@ def test_join_tmptmp_native_matches_python(tmp_path):
     np.testing.assert_array_equal(a.w_notshared, b.w_notshared)
     np.testing.assert_array_equal(a.w_shared_mc, b.w_shared_mc)
     np.testing.assert_array_equal(a.w_notshared_mc, b.w_notshared_mc)
+
+
+def _staged_hists(fix, tmasks=None, rmasks=None):
+    from colate_tpu.formats.colate_in import read_colate_in
+    from colate_tpu.formats.mut import MutTable as MT
+    from colate_tpu.pipeline.binning import bin_sites_analytic_native
+    from colate_tpu.pipeline.join import join_tmptmp
+
+    mts = [MT.read(f) for f in
+           [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]]
+    tgt = read_colate_in(fix["target"])
+    ref = read_colate_in(fix["reference"])
+    sites = join_tmptmp(fix["chroms"], mts, tgt, ref, tmasks, rmasks)
+    hists = bin_sites_analytic_native(sites, age=0.0)
+    return hists, len(sites), sites.num_blocks, tgt, ref
+
+
+def _fused_hists(fix, tgt, ref, tmasks=None, rmasks=None):
+    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+    files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]
+    return fused_tmptmp_hists(
+        fix["chroms"], files, tgt, ref, tmasks, rmasks, 0.0, 0.0
+    )
+
+
+def test_fused_tmptmp_matches_staged(tmp_path):
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=2500, seed=91)
+    (hs, ns, nb, tgt, ref) = _staged_hists(fix)
+    fused = _fused_hists(fix, tgt, ref)
+    assert fused is not None
+    hf, ns_f, nb_f = fused
+    assert (ns_f, nb_f) == (ns, nb)
+    for a, b in zip(hf, hs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_tmptmp_with_masks_and_missing_chrom(tmp_path):
+    """Masks filter rows; a chromosome absent from the streams exhausts
+    the cursor for all later chromosomes (reference EOF behaviour)."""
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(
+        str(tmp_path / "fix"), chroms=("1", "2", "3"), n_per_chrom=1500, seed=13
+    )
+    g = np.random.default_rng(5)
+    tmasks = [
+        g.choice(np.frombuffer(b"PN", np.uint8), 2_000_000) for _ in range(3)
+    ]
+    rmasks = [None, g.choice(np.frombuffer(b"PN", np.uint8), 1_000_000), None]
+    (hs, ns, nb, tgt, ref) = _staged_hists(fix, tmasks, rmasks)
+    fused = _fused_hists(fix, tgt, ref, tmasks, rmasks)
+    assert fused is not None
+    hf, ns_f, nb_f = fused
+    assert (ns_f, nb_f) == (ns, nb)
+    for a, b in zip(hf, hs):
+        np.testing.assert_array_equal(a, b)
+
+    # ask for a chromosome the streams don't have, in the middle
+    chroms2 = ["1", "0", "2", "3"]
+    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+    files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in ("1", "2", "3")]
+    files.insert(1, files[0])  # reuse chr1's .mut for the phantom "0"
+    fused2 = fused_tmptmp_hists(chroms2, files, tgt, ref, None, None)
+    # staged path needs the same phantom table list
+    from colate_tpu.formats.mut import MutTable as MT
+    from colate_tpu.pipeline.binning import bin_sites_analytic_native
+    from colate_tpu.pipeline.join import join_tmptmp
+
+    mts = [MT.read(f) for f in files]
+    sites2 = join_tmptmp(chroms2, mts, tgt, ref)
+    hs2 = bin_sites_analytic_native(sites2, age=0.0)
+    assert fused2 is not None
+    hf2, ns2_f, nb2_f = fused2
+    assert (ns2_f, nb2_f) == (len(sites2), sites2.num_blocks)
+    for a, b in zip(hf2, hs2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_tmptmp_duplicate_chroms_falls_back(tmp_path):
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=200, seed=3)
+    from colate_tpu.formats.colate_in import read_colate_in
+    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+    tgt = read_colate_in(fix["target"])
+    ref = read_colate_in(fix["reference"])
+    files = [f"{fix['mut_prefix']}_chr1.mut"] * 2
+    assert fused_tmptmp_hists(["1", "1"], files, tgt, ref, None, None) is None
