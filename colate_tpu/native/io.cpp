@@ -794,6 +794,15 @@ struct FusedChrom {
   std::string err;
 };
 
+// .mut rows surviving the mode-mut filters (coal.cpp:2150-2176)
+struct FilteredRows {
+  std::vector<int64_t> pos;
+  std::vector<double> ab, ae;
+  std::vector<uint8_t> anc, der;
+  bool ok = true;
+  std::string err;
+};
+
 struct FusedOutC {
   std::vector<double> sh, ns, se, ne;  // [num_blocks * nbins]
   int64_t num_blocks = 0;
@@ -809,30 +818,11 @@ inline bool mask_pass(const uint8_t* m, int64_t len, int64_t pos) {
   return m[i] == 'P';
 }
 
-void fused_one_chrom(
-    const char* mut_path, const uint8_t* tmask, int64_t tmask_len,
-    const uint8_t* rmask, int64_t rmask_len,
-    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
-    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
-    int64_t tlo, int64_t thi,
-    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
-    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
-    int64_t rlo, int64_t rhi, double age, double ref_age, int64_t nbpb,
-    FusedChrom* out) {
-  std::vector<char> buf;
-  if (!slurp(mut_path, buf, out->err)) {
-    out->ok = false;
-    return;
-  }
-  const char* p = buf.data();
-  const char* end = p + buf.size();
-  const char* nl = (const char*)memchr(p, '\n', end - p);
-  if (!nl) return;  // empty table: header only
-  p = nl + 1;
-
-  int64_t ridx = rlo, tidx = tlo;  // current (consumed) record per stream
-  int64_t block_base = 0, nb_local = 0;
-
+// parse + filter one line range (ranges split at line boundaries, so
+// shards are independent and can run on separate threads)
+void fused_parse_range(const char* p, const char* end, const uint8_t* tmask,
+                       int64_t tmask_len, const uint8_t* rmask,
+                       int64_t rmask_len, double age, FilteredRows* out) {
   const char* f[12];
   while (p < end) {
     const char* e = (const char*)memchr(p, '\n', end - p);
@@ -880,8 +870,96 @@ void fused_one_chrom(
     const int64_t pos = parse_i64(f[1], f[2] - 1);
     if (!mask_pass(tmask, tmask_len, pos)) continue;
     if (!mask_pass(rmask, rmask_len, pos)) continue;
-    const uint8_t anc = (uint8_t)f[10][0];
-    const uint8_t der = (uint8_t)f[10][2];
+    out->pos.push_back(pos);
+    out->ab.push_back(m_ab);
+    out->ae.push_back(m_ae);
+    out->anc.push_back((uint8_t)f[10][0]);
+    out->der.push_back((uint8_t)f[10][2]);
+  }
+}
+
+void fused_one_chrom(
+    const char* mut_path, const uint8_t* tmask, int64_t tmask_len,
+    const uint8_t* rmask, int64_t rmask_len,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
+    int64_t tlo, int64_t thi,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
+    int64_t rlo, int64_t rhi, double age, double ref_age, int64_t nbpb,
+    int par, FusedChrom* out) {
+  std::vector<char> buf;
+  if (!slurp(mut_path, buf, out->err)) {
+    out->ok = false;
+    return;
+  }
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  const char* nl = (const char*)memchr(p, '\n', end - p);
+  if (!nl) return;  // empty table: header only
+  p = nl + 1;
+
+  // parse + filter, sharded on threads when this chromosome got spare
+  // parallel budget (few-chromosome runs, e.g. the chr-at-a-time
+  // north-star workload)
+  size_t total = (size_t)(end - p);
+  if (par < 1) par = 1;
+  if (total < (1u << 21)) par = 1;
+  std::vector<const char*> bnd{p};
+  for (int i = 1; i < par; i++) {
+    const char* q = p + total * i / par;
+    if (q <= bnd.back()) q = bnd.back();
+    const char* e = (const char*)memchr(q, '\n', end - q);
+    q = e ? e + 1 : end;
+    if (q > bnd.back() && q < end) bnd.push_back(q);
+  }
+  bnd.push_back(end);
+  const size_t nshard = bnd.size() - 1;
+  std::vector<FilteredRows> shards(nshard);
+  if (nshard == 1) {
+    fused_parse_range(bnd[0], bnd[1], tmask, tmask_len, rmask, rmask_len, age,
+                      &shards[0]);
+  } else {
+    std::vector<std::thread> th;
+    for (size_t w = 0; w < nshard; w++)
+      th.emplace_back([&, w] {
+        fused_parse_range(bnd[w], bnd[w + 1], tmask, tmask_len, rmask,
+                          rmask_len, age, &shards[w]);
+      });
+    for (auto& x : th) x.join();
+  }
+  FilteredRows rows;
+  if (nshard == 1) {
+    rows = std::move(shards[0]);
+  } else {
+    size_t nr = 0;
+    for (auto& s : shards) nr += s.pos.size();
+    rows.pos.reserve(nr); rows.ab.reserve(nr); rows.ae.reserve(nr);
+    rows.anc.reserve(nr); rows.der.reserve(nr);
+    for (auto& s : shards) {
+      if (!s.ok) { rows.ok = false; rows.err = s.err; break; }
+      rows.pos.insert(rows.pos.end(), s.pos.begin(), s.pos.end());
+      rows.ab.insert(rows.ab.end(), s.ab.begin(), s.ab.end());
+      rows.ae.insert(rows.ae.end(), s.ae.begin(), s.ae.end());
+      rows.anc.insert(rows.anc.end(), s.anc.begin(), s.anc.end());
+      rows.der.insert(rows.der.end(), s.der.begin(), s.der.end());
+    }
+  }
+  if (!rows.ok) {
+    out->err = rows.err;
+    out->ok = false;
+    return;
+  }
+
+  int64_t ridx = rlo, tidx = tlo;  // current (consumed) record per stream
+  int64_t block_base = 0, nb_local = 0;
+
+  for (size_t i = 0; i < rows.pos.size(); i++) {
+    const int64_t pos = rows.pos[i];
+    const double m_ab = rows.ab[i];
+    const double m_ae = rows.ae[i];
+    const uint8_t anc = rows.anc[i];
+    const uint8_t der = rows.der[i];
 
     // --- reference stream cursor (coal.cpp:2183-2199) ---
     int32_t DAF_ref = 0, AAF_ref = 0;
@@ -955,10 +1033,13 @@ void* cn_tmptmp_fused(
     paths[c].assign(mpath_blob + mpath_off[c],
                     (size_t)(mpath_off[c + 1] - mpath_off[c]));
 
-  unsigned nt = std::thread::hardware_concurrency();
-  if (nt == 0) nt = 1;
-  if (nt > 8) nt = 8;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (hw > 8) hw = 8;
+  unsigned nt = hw;
   if ((int)nt > n_chr) nt = (unsigned)n_chr;
+  // spare parallel budget goes to intra-file parse sharding
+  const int par = (int)(hw / (nt ? nt : 1));
   std::atomic<int> next{0};
   auto work = [&] {
     for (;;) {
@@ -971,7 +1052,7 @@ void* cn_tmptmp_fused(
       fused_one_chrom(paths[c].c_str(), tm, tml, rm, rml, t_bp, t_anc, t_der,
                       t_aaf, t_daf, t_total, t_seg[2 * c], t_seg[2 * c + 1],
                       r_bp, r_anc, r_der, r_aaf, r_daf, r_total, r_seg[2 * c],
-                      r_seg[2 * c + 1], age, ref_age, nbpb, &parts[c]);
+                      r_seg[2 * c + 1], age, ref_age, nbpb, par, &parts[c]);
     }
   };
   if (nt <= 1) {
