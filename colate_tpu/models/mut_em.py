@@ -217,41 +217,40 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 )
             elif cfg.target_tmp and cfg.reference_tmp:
                 # the decoders are independent native calls (GIL released):
-                # overlap the two site streams (and masks) on host threads
+                # the two site streams and masks decode on host threads
+                # WHILE the fused .mut prefilter (parse + row filters)
+                # runs — the cursor join is the only stage that needs
+                # both, so the host pipeline has no serial decode phase
                 from concurrent.futures import ThreadPoolExecutor
 
+                from colate_tpu.pipeline.join import (
+                    fused_join_bin_native,
+                    mut_prefilter_native,
+                )
+
+                dedup = len(set(chroms)) == len(chroms)
+                sites = None
                 with ThreadPoolExecutor(max_workers=8) as ex:
                     fut_t = ex.submit(read_colate_in, cfg.target_tmp)
                     fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
-                    fut_tm = (
-                        [ex.submit(read_mask, f) for f in tmask_files]
-                        if tmask_files
-                        else None
-                    )
-                    fut_rm = (
-                        [ex.submit(read_mask, f) for f in rmask_files]
-                        if rmask_files
+                    tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+                    rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+                    pf = (
+                        mut_prefilter_native(mut_files, tmasks, rmasks, age)
+                        if (not parity and dedup)
                         else None
                     )
                     target = fut_t.result()
                     reference = fut_r.result()
-                    tmasks = [f.result() for f in fut_tm] if fut_tm else None
-                    rmasks = [f.result() for f in fut_rm] if fut_rm else None
-                sites = None
-                if not parity:
-                    # fully fused native path: .mut parse + filters + cursor
-                    # join + analytic binning in one threaded call
-                    from colate_tpu.pipeline.join import fused_tmptmp_hists
-
-                    fused = fused_tmptmp_hists(
-                        chroms, mut_files, target, reference, tmasks, rmasks,
-                        age, ref_age,
+                if pf is not None:
+                    fused = fused_join_bin_native(
+                        pf, chroms, target, reference, age, ref_age
                     )
-                    if fused is not None:
-                        (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
-                        timings["parse"] = time.time() - t0
-                        timings["binning"] = 0.0
-                if sites is None and (parity or fused is None):
+                if fused is not None:
+                    (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
+                    timings["parse"] = time.time() - t0
+                    timings["binning"] = 0.0
+                else:
                     mut_tables = [MutTable.read(f) for f in mut_files]
                     sites = join_tmptmp(
                         chroms, mut_tables, target, reference, tmasks, rmasks,

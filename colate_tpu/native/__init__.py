@@ -104,15 +104,22 @@ def load():
         + [ctypes.c_double, ctypes.c_double] # age, bin C
         + [P] * 4                            # output histograms
     )
-    lib.cn_tmptmp_fused.restype = ctypes.c_void_p
-    lib.cn_tmptmp_fused.argtypes = (
+    lib.cn_mut_prefilter.restype = ctypes.c_void_p
+    lib.cn_mut_prefilter.argtypes = (
         [ctypes.c_int, P, P]                 # n_chr, mut path blob+offsets
         + [P, P, P, P]                       # tmask blob/off, rmask blob/off
+        + [ctypes.c_double]                  # age
+        + [ctypes.c_char_p, ctypes.c_int]    # errbuf
+    )
+    lib.cn_prefilter_free.argtypes = [ctypes.c_void_p]
+    lib.cn_tmptmp_join_bin.restype = ctypes.c_void_p
+    lib.cn_tmptmp_join_bin.argtypes = (
+        [ctypes.c_void_p]                    # prefilter handle (consumed)
         + [P] * 5 + [ctypes.c_int64, P]      # target cols, n, segments
         + [P] * 5 + [ctypes.c_int64, P]      # reference cols, n, segments
-        + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]  # age, ref_age, nbpb
-        + [ctypes.c_int, P, ctypes.c_double] # nbins, edges, bin C
-        + [ctypes.c_char_p, ctypes.c_int]    # errbuf
+        + [ctypes.c_double, ctypes.c_int64]  # ref_age, bases per block
+        + [ctypes.c_int, P]                  # nbins, edges
+        + [ctypes.c_double, ctypes.c_double] # age, bin C
     )
     lib.cn_fused_num_blocks.restype = ctypes.c_int64
     lib.cn_fused_num_blocks.argtypes = [ctypes.c_void_p]

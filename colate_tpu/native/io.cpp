@@ -878,16 +878,10 @@ void fused_parse_range(const char* p, const char* end, const uint8_t* tmask,
   }
 }
 
-void fused_one_chrom(
-    const char* mut_path, const uint8_t* tmask, int64_t tmask_len,
-    const uint8_t* rmask, int64_t rmask_len,
-    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
-    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
-    int64_t tlo, int64_t thi,
-    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
-    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
-    int64_t rlo, int64_t rhi, double age, double ref_age, int64_t nbpb,
-    int par, FusedChrom* out) {
+void mut_prefilter_one(const char* mut_path, const uint8_t* tmask,
+                       int64_t tmask_len, const uint8_t* rmask,
+                       int64_t rmask_len, double age, int par,
+                       FilteredRows* out) {
   std::vector<char> buf;
   if (!slurp(mut_path, buf, out->err)) {
     out->ok = false;
@@ -928,29 +922,42 @@ void fused_one_chrom(
       });
     for (auto& x : th) x.join();
   }
-  FilteredRows rows;
   if (nshard == 1) {
-    rows = std::move(shards[0]);
-  } else {
-    size_t nr = 0;
-    for (auto& s : shards) nr += s.pos.size();
-    rows.pos.reserve(nr); rows.ab.reserve(nr); rows.ae.reserve(nr);
-    rows.anc.reserve(nr); rows.der.reserve(nr);
-    for (auto& s : shards) {
-      if (!s.ok) { rows.ok = false; rows.err = s.err; break; }
-      rows.pos.insert(rows.pos.end(), s.pos.begin(), s.pos.end());
-      rows.ab.insert(rows.ab.end(), s.ab.begin(), s.ab.end());
-      rows.ae.insert(rows.ae.end(), s.ae.begin(), s.ae.end());
-      rows.anc.insert(rows.anc.end(), s.anc.begin(), s.anc.end());
-      rows.der.insert(rows.der.end(), s.der.begin(), s.der.end());
-    }
-  }
-  if (!rows.ok) {
-    out->err = rows.err;
-    out->ok = false;
+    FilteredRows& s = shards[0];
+    out->pos = std::move(s.pos);
+    out->ab = std::move(s.ab);
+    out->ae = std::move(s.ae);
+    out->anc = std::move(s.anc);
+    out->der = std::move(s.der);
+    out->ok = s.ok;
+    out->err = s.err;
     return;
   }
+  size_t nr = 0;
+  for (auto& s : shards) nr += s.pos.size();
+  out->pos.reserve(nr); out->ab.reserve(nr); out->ae.reserve(nr);
+  out->anc.reserve(nr); out->der.reserve(nr);
+  for (auto& s : shards) {
+    if (!s.ok) { out->ok = false; out->err = s.err; return; }
+    out->pos.insert(out->pos.end(), s.pos.begin(), s.pos.end());
+    out->ab.insert(out->ab.end(), s.ab.begin(), s.ab.end());
+    out->ae.insert(out->ae.end(), s.ae.begin(), s.ae.end());
+    out->anc.insert(out->anc.end(), s.anc.begin(), s.anc.end());
+    out->der.insert(out->der.end(), s.der.begin(), s.der.end());
+  }
+}
 
+}  // namespace
+
+// cursor-join the prefiltered rows of one chromosome
+static void fused_join_chrom(
+    const FilteredRows& rows,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
+    int64_t tlo, int64_t thi,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
+    int64_t rlo, int64_t rhi, double ref_age, int64_t nbpb, FusedChrom* out) {
   int64_t ridx = rlo, tidx = tlo;  // current (consumed) record per stream
   int64_t block_base = 0, nb_local = 0;
 
@@ -1008,37 +1015,33 @@ void fused_one_chrom(
   out->num_sites = (int64_t)out->ab.size();
 }
 
-}  // namespace
+// prefilter handle: parsed+filtered .mut rows per chromosome
+struct PrefilterC {
+  std::vector<FilteredRows> rows;
+  std::vector<std::string> paths;
+};
 
 extern "C" {
 
-// Fused per-chromosome mut-parse + filter + cursor-join + analytic
-// binning.  mut paths as a blob with n_chr+1 offsets; masks optional
-// (null offsets => none).  t_seg/r_seg are [n_chr][2] (lo, hi) record
-// ranges per chromosome.  Returns a FusedOutC handle.
-void* cn_tmptmp_fused(
+// Phase 1: parse + filter the per-chromosome .mut files (threaded, with
+// intra-file sharding).  Independent of the site streams, so callers
+// overlap it with the .colate.in decode.  Returns a PrefilterC handle.
+void* cn_mut_prefilter(
     int n_chr, const char* mpath_blob, const int64_t* mpath_off,
     const uint8_t* tmask_blob, const int64_t* tmask_off,
-    const uint8_t* rmask_blob, const int64_t* rmask_off,
-    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
-    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
-    const int64_t* t_seg,
-    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
-    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
-    const int64_t* r_seg, double age, double ref_age, int64_t nbpb,
-    int nbins, const double* edges, double bin_c, char* errbuf, int errlen) {
-  std::vector<FusedChrom> parts(n_chr);
-  std::vector<std::string> paths(n_chr);
+    const uint8_t* rmask_blob, const int64_t* rmask_off, double age,
+    char* errbuf, int errlen) {
+  auto* pf = new PrefilterC();
+  pf->rows.resize(n_chr);
+  pf->paths.resize(n_chr);
   for (int c = 0; c < n_chr; c++)
-    paths[c].assign(mpath_blob + mpath_off[c],
-                    (size_t)(mpath_off[c + 1] - mpath_off[c]));
-
+    pf->paths[c].assign(mpath_blob + mpath_off[c],
+                        (size_t)(mpath_off[c + 1] - mpath_off[c]));
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 1;
   if (hw > 8) hw = 8;
   unsigned nt = hw;
   if ((int)nt > n_chr) nt = (unsigned)n_chr;
-  // spare parallel budget goes to intra-file parse sharding
   const int par = (int)(hw / (nt ? nt : 1));
   std::atomic<int> next{0};
   auto work = [&] {
@@ -1049,10 +1052,8 @@ void* cn_tmptmp_fused(
       const int64_t tml = tmask_off ? tmask_off[c + 1] - tmask_off[c] : 0;
       const uint8_t* rm = rmask_off ? rmask_blob + rmask_off[c] : nullptr;
       const int64_t rml = rmask_off ? rmask_off[c + 1] - rmask_off[c] : 0;
-      fused_one_chrom(paths[c].c_str(), tm, tml, rm, rml, t_bp, t_anc, t_der,
-                      t_aaf, t_daf, t_total, t_seg[2 * c], t_seg[2 * c + 1],
-                      r_bp, r_anc, r_der, r_aaf, r_daf, r_total, r_seg[2 * c],
-                      r_seg[2 * c + 1], age, ref_age, nbpb, par, &parts[c]);
+      mut_prefilter_one(pf->paths[c].c_str(), tm, tml, rm, rml, age, par,
+                        &pf->rows[c]);
     }
   };
   if (nt <= 1) {
@@ -1063,11 +1064,54 @@ void* cn_tmptmp_fused(
     for (auto& x : th) x.join();
   }
   for (int c = 0; c < n_chr; c++)
-    if (!parts[c].ok) {
-      snprintf(errbuf, errlen, "%s: %s", paths[c].c_str(),
-               parts[c].err.c_str());
+    if (!pf->rows[c].ok) {
+      snprintf(errbuf, errlen, "%s: %s", pf->paths[c].c_str(),
+               pf->rows[c].err.c_str());
+      delete pf;
       return nullptr;
     }
+  return pf;
+}
+
+void cn_prefilter_free(void* h) { delete (PrefilterC*)h; }
+
+// Phase 2: cursor-join the prefiltered rows against the decoded site
+// streams and bin analytically.  Consumes (frees) the prefilter handle.
+void* cn_tmptmp_join_bin(
+    void* prefilter,
+    const int32_t* t_bp, const uint8_t* t_anc, const uint8_t* t_der,
+    const int32_t* t_aaf, const int32_t* t_daf, int64_t t_total,
+    const int64_t* t_seg,
+    const int32_t* r_bp, const uint8_t* r_anc, const uint8_t* r_der,
+    const int32_t* r_aaf, const int32_t* r_daf, int64_t r_total,
+    const int64_t* r_seg, double ref_age, int64_t nbpb, int nbins,
+    const double* edges, double age, double bin_c) {
+  auto* pf = (PrefilterC*)prefilter;
+  const int n_chr = (int)pf->rows.size();
+  std::vector<FusedChrom> parts(n_chr);
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if ((int)nt > n_chr) nt = (unsigned)n_chr;
+  std::atomic<int> next{0};
+  auto work = [&] {
+    for (;;) {
+      const int c = next.fetch_add(1);
+      if (c >= n_chr) return;
+      fused_join_chrom(pf->rows[c], t_bp, t_anc, t_der, t_aaf, t_daf, t_total,
+                       t_seg[2 * c], t_seg[2 * c + 1], r_bp, r_anc, r_der,
+                       r_aaf, r_daf, r_total, r_seg[2 * c], r_seg[2 * c + 1],
+                       ref_age, nbpb, &parts[c]);
+    }
+  };
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> th;
+    for (unsigned i = 0; i < nt; i++) th.emplace_back(work);
+    for (auto& x : th) x.join();
+  }
+  delete pf;
 
   auto* out = new FusedOutC();
   for (int c = 0; c < n_chr; c++) out->num_blocks += parts[c].blocks_used;

@@ -435,36 +435,29 @@ def _static_segments(stream: SiteStream, chroms: list[str]) -> np.ndarray | None
     return segs
 
 
-def fused_tmptmp_hists(
-    chrom_names: list[str],
+def _pp(a):
+    import ctypes
+
+    return ctypes.c_void_p(a.ctypes.data) if isinstance(a, np.ndarray) else a
+
+
+def mut_prefilter_native(
     mut_files: list[str],
-    target: SiteStream,
-    reference: SiteStream,
     target_masks: list[np.ndarray] | None,
     reference_masks: list[np.ndarray] | None,
     age: float = 0.0,
-    ref_age: float = 0.0,
 ):
-    """One native call for the whole tmp-mode sufficient-statistic build:
-    .mut parse + row filters + cursor join + analytic binning, fused and
-    threaded over chromosomes (native/io.cpp:cn_tmptmp_fused).
-
-    Returns ((shared, notshared, shared_emp, notshared_emp) block
-    histograms, num_sites, num_blocks), or None when the native library
-    is unavailable / segments can't be statically derived — callers fall
-    back to the staged join_tmptmp + bin_sites_analytic path, which is
-    also the equivalence oracle (tests/test_native_io.py)."""
+    """Phase 1 of the fused tmp pipeline: parse + filter the .mut files
+    (native, threaded, intra-file sharded).  Independent of the site
+    streams, so callers overlap it with the .colate.in decode.  Returns
+    an opaque handle for :func:`fused_join_bin_native`, or None when the
+    native library is unavailable."""
     import ctypes
 
     from colate_tpu import native
-    from colate_tpu.config import AGE_BIN_C, NUM_AGE_BINS, age_bin_edges
 
     lib = native.load()
     if lib is None:
-        return None
-    t_seg = _static_segments(target, chrom_names)
-    r_seg = _static_segments(reference, chrom_names)
-    if t_seg is None or r_seg is None:
         return None
 
     pblob = "".join(mut_files).encode()
@@ -486,27 +479,55 @@ def fused_tmptmp_hists(
 
     tm_blob, tm_off = mask_blob(target_masks)
     rm_blob, rm_off = mask_blob(reference_masks)
+    errbuf = ctypes.create_string_buffer(512)
+    # keep the blobs alive across the call
+    h = lib.cn_mut_prefilter(
+        len(mut_files), _pp(pblob_a), _pp(poff),
+        _pp(tm_blob), _pp(tm_off), _pp(rm_blob), _pp(rm_off),
+        float(age), errbuf, len(errbuf),
+    )
+    if not h:
+        raise FileNotFoundError(errbuf.value.decode() or "cn_mut_prefilter failed")
+    return h
 
+
+def fused_join_bin_native(
+    prefilter,
+    chrom_names: list[str],
+    target: SiteStream,
+    reference: SiteStream,
+    age: float = 0.0,
+    ref_age: float = 0.0,
+):
+    """Phase 2: cursor-join the prefiltered rows against the decoded
+    streams and bin analytically (consumes the prefilter handle).
+    Returns ((shared, notshared, shared_emp, notshared_emp) block
+    histograms, num_sites, num_blocks), or None when stream segments
+    can't be statically derived (duplicate chromosome names) — the
+    caller must then free the handle and fall back to the staged path."""
+    from colate_tpu import native
+    from colate_tpu.config import AGE_BIN_C, NUM_AGE_BINS, age_bin_edges
+
+    lib = native.load()
+    t_seg = _static_segments(target, chrom_names)
+    r_seg = _static_segments(reference, chrom_names)
+    if t_seg is None or r_seg is None:
+        lib.cn_prefilter_free(prefilter)
+        return None
     t = _stream_ctypes(target)
     r = _stream_ctypes(reference)
     edges = np.ascontiguousarray(age_bin_edges())
-    errbuf = ctypes.create_string_buffer(512)
-
-    def pp(a):
-        return ctypes.c_void_p(a.ctypes.data) if isinstance(a, np.ndarray) else a
-
-    h = lib.cn_tmptmp_fused(
-        len(chrom_names), pp(pblob_a), pp(poff),
-        pp(tm_blob), pp(tm_off), pp(rm_blob), pp(rm_off),
-        pp(t[0]), pp(t[1]), pp(t[2]), pp(t[3]), pp(t[4]), t[5],
-        pp(np.ascontiguousarray(t_seg)),
-        pp(r[0]), pp(r[1]), pp(r[2]), pp(r[3]), pp(r[4]), r[5],
-        pp(np.ascontiguousarray(r_seg)),
-        float(age), float(ref_age), NUM_BASES_PER_BLOCK,
-        NUM_AGE_BINS, pp(edges), AGE_BIN_C, errbuf, len(errbuf),
+    h = lib.cn_tmptmp_join_bin(
+        prefilter,
+        _pp(t[0]), _pp(t[1]), _pp(t[2]), _pp(t[3]), _pp(t[4]), t[5],
+        _pp(np.ascontiguousarray(t_seg)),
+        _pp(r[0]), _pp(r[1]), _pp(r[2]), _pp(r[3]), _pp(r[4]), r[5],
+        _pp(np.ascontiguousarray(r_seg)),
+        float(ref_age), NUM_BASES_PER_BLOCK,
+        NUM_AGE_BINS, _pp(edges), float(age), AGE_BIN_C,
     )
     if not h:
-        raise FileNotFoundError(errbuf.value.decode() or "cn_tmptmp_fused failed")
+        raise RuntimeError("cn_tmptmp_join_bin failed")
     try:
         num_blocks = int(lib.cn_fused_num_blocks(h))
         num_sites = int(lib.cn_fused_num_sites(h))
@@ -519,6 +540,33 @@ def fused_tmptmp_hists(
     finally:
         lib.cn_fused_free(h)
     return hists, num_sites, num_blocks
+
+
+def fused_tmptmp_hists(
+    chrom_names: list[str],
+    mut_files: list[str],
+    target: SiteStream,
+    reference: SiteStream,
+    target_masks: list[np.ndarray] | None,
+    reference_masks: list[np.ndarray] | None,
+    age: float = 0.0,
+    ref_age: float = 0.0,
+):
+    """Fused tmp-mode sufficient-statistic build: .mut parse + row
+    filters + cursor join + analytic binning in native code, threaded
+    over chromosomes with intra-file parse sharding.
+
+    Returns ((shared, notshared, shared_emp, notshared_emp) block
+    histograms, num_sites, num_blocks), or None when the native library
+    is unavailable / segments can't be statically derived — callers fall
+    back to the staged join_tmptmp + bin_sites_analytic path, which is
+    also the equivalence oracle (tests/test_native_io.py)."""
+    if len(set(chrom_names)) != len(chrom_names):
+        return None
+    pf = mut_prefilter_native(mut_files, target_masks, reference_masks, age)
+    if pf is None:
+        return None
+    return fused_join_bin_native(pf, chrom_names, target, reference, age, ref_age)
 
 
 def allele_codes(mt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
