@@ -77,7 +77,28 @@ def _read_chr_list(path: str | None) -> list[str] | None:
         return [ln.strip() for ln in fh if ln.strip()]
 
 
+def _print_rusage() -> None:
+    """End-of-run resource report, same shape as the reference's
+    getrusage print (coal.cpp:3852-3861)."""
+    try:
+        import resource
+
+        u = resource.getrusage(resource.RUSAGE_SELF)
+        cpu = u.ru_utime + u.ru_stime
+        print(
+            f"CPU Time spent: {cpu:.6f}s; Max Memory usage: "
+            f"{u.ru_maxrss / 1000.0}Mb.",
+            file=sys.stderr,
+        )
+        print("-" * 57 + "\n", file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    import atexit
+
+    atexit.register(_print_rusage)
     args = _build_parser().parse_args(argv)
     mode = args.mode
 

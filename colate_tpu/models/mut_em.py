@@ -316,9 +316,12 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     t0 = time.time()
     em_dtype = cfg.em_dtype
     out = None
-    if em_dtype == "auto" and not parity and B <= 64:
+    if em_dtype == "auto" and B <= 64:
         # small-batch EMs are pure dispatch latency on an accelerator;
-        # the host provider (ops/em.py:run_em_native, f64) takes them
+        # the host provider (ops/em.py:run_em_native, f64) takes them.
+        # It matches the JAX f64 EM to ~1e-13 — far below the 6
+        # significant digits the .coal writer prints — so parity runs
+        # use it too (golden tests enforce byte-identity either way).
         from colate_tpu.ops.em import run_em_native
 
         out = run_em_native(epochs, init_rates, shared_counts, notshared_counts)
