@@ -70,6 +70,22 @@ bool slurp(const char* path, std::vector<char>& out, std::string& err) {
       return false;
     }
   }
+  // plain (non-gzip) files: read in one pass at the stat'd size instead
+  // of decompress-probing through zlib with doubling buffers
+  unsigned char magic[2] = {0, 0};
+  size_t got_magic = fread(magic, 1, 2, probe);
+  if (got_magic < 2 || magic[0] != 0x1f || magic[1] != 0x8b) {
+    if (fseek(probe, 0, SEEK_END) == 0) {
+      long sz = ftell(probe);
+      if (sz >= 0 && fseek(probe, 0, SEEK_SET) == 0) {
+        out.resize((size_t)sz);
+        size_t n = fread(out.data(), 1, (size_t)sz, probe);
+        fclose(probe);
+        out.resize(n);
+        return true;
+      }
+    }
+  }
   fclose(probe);
   gzFile f = gzopen(p.c_str(), "rb");
   if (!f) {
@@ -825,20 +841,20 @@ void fused_parse_range(const char* p, const char* end, const uint8_t* tmask,
                        int64_t rmask_len, double age, FilteredRows* out) {
   const char* f[12];
   while (p < end) {
-    const char* e = (const char*)memchr(p, '\n', end - p);
-    if (!e) e = end;
-    if (e == p) {
-      p = e + 1;
-      continue;
-    }
+    // one pass over the row: record the first 11 ';' positions and the
+    // terminating '\n' together (rows are ~100 bytes of short fields —
+    // a single scan beats a memchr restart per field)
     int nf = 0;
     f[0] = p;
     const char* q = p;
-    while (nf < 11 && q < e) {
-      const char* s = (const char*)memchr(q, ';', e - q);
-      if (!s) break;
-      f[++nf] = s + 1;
-      q = s + 1;
+    while (q < end && *q != '\n') {
+      if (*q == ';' && nf < 11) f[++nf] = q + 1;
+      q++;
+    }
+    const char* e = q;
+    if (e == p) {
+      p = e + 1;
+      continue;
     }
     p = e + 1;
     if (nf < 11) {
