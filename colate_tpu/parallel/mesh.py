@@ -59,7 +59,7 @@ def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     nd = mesh.devices.size
     n = age_begin.shape[0]
@@ -83,7 +83,7 @@ def _sharded_bin_fn(mesh, num_blocks: int, age: float):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from colate_tpu.pipeline.binning import _overlap_probs
 
@@ -155,7 +155,7 @@ def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from colate_tpu.config import EM_MAX_ITER
     from colate_tpu.ops.em import run_em
