@@ -95,3 +95,27 @@ def test_annotate_ages_matches_tree_coordinates(tmp_path):
         assert tbl.age_begin[i] == pytest.approx(float(ages[t, b]), rel=1e-5)
         par = int(anc.parent[t, b])
         assert tbl.age_end[i] == pytest.approx(float(ages[t, par]), rel=1e-5)
+
+
+def test_collapsed_matrix_roundtrip(tmp_path):
+    """CollapsedMatrix binary layout: (uint64 rows, uint64 cols, data)."""
+    import numpy as np
+
+    from colate_tpu.formats.collapsed import read_collapsed, write_collapsed
+
+    g = np.random.default_rng(2)
+    a = g.normal(size=(7, 5)).astype(np.float32)
+    b = g.integers(0, 100, (3, 9)).astype(np.int32)
+    p = tmp_path / "cm.bin"
+    with open(p, "wb") as fh:
+        write_collapsed(fh, a)
+        write_collapsed(fh, b)
+    with open(p, "rb") as fh:
+        a2 = read_collapsed(fh, np.float32)
+        b2 = read_collapsed(fh, np.int32)
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(b, b2)
+    # byte-level check of the C++ layout
+    raw = open(p, "rb").read()
+    assert raw[:16] == np.asarray([7, 5], np.uint64).tobytes()
+    assert raw[16 : 16 + a.nbytes] == a.tobytes()
