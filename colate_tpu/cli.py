@@ -96,9 +96,16 @@ def _print_rusage() -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    import atexit
+    """CLI entry point; prints the rusage report on the way out (once
+    per call — no atexit, so repeated library/test invocations don't
+    stack handlers)."""
+    try:
+        return _dispatch(argv)
+    finally:
+        _print_rusage()
 
-    atexit.register(_print_rusage)
+
+def _dispatch(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     mode = args.mode
 

@@ -313,15 +313,27 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
         init_rates = np.full(epochs.shape, INITIAL_COAL_RATE)
 
     # ---- EM ----
+    from colate_tpu.utils.progress import log_event, profile_trace
+
+    log_event(
+        "mut_suffstats",
+        sites=num_sites,
+        blocks=num_blocks,
+        bootstraps=B,
+        sec_parse=round(timings.get("parse", 0.0), 4),
+        sec_binning=round(timings.get("binning", 0.0), 4),
+        sec_bootstrap=round(timings.get("bootstrap", 0.0), 4),
+    )
     t0 = time.time()
     em_dtype = cfg.em_dtype
     out = None
-    if em_dtype == "auto" and B <= 64:
+    if em_dtype == "auto" and B <= 64 and not parity:
         # small-batch EMs are pure dispatch latency on an accelerator;
         # the host provider (ops/em.py:run_em_native, f64) takes them.
-        # It matches the JAX f64 EM to ~1e-13 — far below the 6
-        # significant digits the .coal writer prints — so parity runs
-        # use it too (golden tests enforce byte-identity either way).
+        # Parity runs are excluded: the native provider's ~1e-13
+        # deviation from the JAX f64 EM could in rare cases flip the
+        # 6th printed significant digit at a rounding boundary, so
+        # byte-identity runs always take the JAX f64 path below.
         from colate_tpu.ops.em import run_em_native
 
         out = run_em_native(epochs, init_rates, shared_counts, notshared_counts)
@@ -336,17 +348,24 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                 if (parity or jax.default_backend() == "cpu")
                 else "float32"
             )
-        rates, logl, iters = run_em(
-            jnp.asarray(epochs),
-            jnp.asarray(init_rates),
-            jnp.asarray(shared_counts),
-            jnp.asarray(notshared_counts),
-            dtype=em_dtype,
-        )
+        with profile_trace():  # COLATE_TPU_TRACE=<dir> captures the EM
+            rates, logl, iters = run_em(
+                jnp.asarray(epochs),
+                jnp.asarray(init_rates),
+                jnp.asarray(shared_counts),
+                jnp.asarray(notshared_counts),
+                dtype=em_dtype,
+            )
     rates = np.asarray(rates)
     logl = np.asarray(logl)
     iters = np.asarray(iters)
     timings["em"] = time.time() - t0
+    log_event(
+        "mut_em",
+        provider="native" if out is not None else f"jax:{em_dtype}",
+        iters=int(np.max(iters)),
+        sec=round(timings["em"], 4),
+    )
 
     return MutResult(
         epochs=epochs,
@@ -370,9 +389,13 @@ def run_mut_and_write(cfg: MutRunConfig) -> MutResult:
         is_ancient=res.is_ancient,
         ep_null=res.ep_null,
     )
-    print(
-        f"mode mut: {res.num_sites} sites, {res.num_blocks} blocks, "
-        f"iters={res.iterations.tolist()}, timings={ {k: round(v, 3) for k, v in res.timings.items()} }",
-        file=sys.stderr,
+    from colate_tpu.utils.progress import log_event
+
+    log_event(
+        "mut_done",
+        sites=res.num_sites,
+        blocks=res.num_blocks,
+        iters=res.iterations.tolist(),
+        timings={k: round(v, 3) for k, v in res.timings.items()},
     )
     return res

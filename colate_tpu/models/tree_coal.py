@@ -192,6 +192,8 @@ def run_tree_mode(args) -> int:
         with open(args.chr_file) as fh:
             chroms = [ln.strip() for ln in fh if ln.strip()]
 
+    from colate_tpu.utils.progress import log_event
+
     max_blocks = 4096
     num = np.zeros((max_blocks, E), np.float64)
     denom = np.zeros((max_blocks, E), np.float64)
@@ -200,6 +202,7 @@ def run_tree_mode(args) -> int:
         anc = AncFile.read(f"{args.input}_chr{c}.anc")
         mut = MutTable.read(f"{args.input}_chr{c}.mut")
         nb += accumulate_tree_stats(anc, mut, epochs, nb, num, denom)
+        log_event("tree_chrom", chrom=c, trees=anc.num_trees, blocks=nb)
     B = args.num_bootstraps or 1
     w = bootstrap_block_weights_tree(B, nb)
     num_b = w @ num[:nb]
@@ -207,8 +210,7 @@ def run_tree_mode(args) -> int:
     with np.errstate(divide="ignore", invalid="ignore"):
         rates = num_b / den_b
     write_tree_coal(args.output + ".coal", epochs, rates, B)
-    print(f"tree mode: {nb} blocks, {B} bootstraps -> {args.output}.coal",
-          file=sys.stderr)
+    log_event("tree_done", blocks=nb, bootstraps=B, out=args.output + ".coal")
     return 0
 
 

@@ -451,8 +451,14 @@ def mut_prefilter_native(
     (native, threaded, intra-file sharded).  Independent of the site
     streams, so callers overlap it with the .colate.in decode.  Returns
     an opaque handle for :func:`fused_join_bin_native`, or None when the
-    native library is unavailable."""
+    native library is unavailable.
+
+    NOTE: tmp inputs force age=0 in the reference (parse_tmptmp,
+    coal.cpp:2073-2074), so the row filter ignores the caller's age —
+    same as :func:`join_tmptmp`."""
     import ctypes
+
+    age = 0.0
 
     from colate_tpu import native
 
@@ -504,9 +510,16 @@ def fused_join_bin_native(
     Returns ((shared, notshared, shared_emp, notshared_emp) block
     histograms, num_sites, num_blocks), or None when stream segments
     can't be statically derived (duplicate chromosome names) — the
-    caller must then free the handle and fall back to the staged path."""
+    caller must then free the handle and fall back to the staged path.
+
+    NOTE: tmp inputs force age=ref_age=0 in the reference (parse_tmptmp,
+    coal.cpp:2073-2074); binning likewise uses age=0 — same as the
+    staged join_tmptmp + bin_sites_analytic path."""
     from colate_tpu import native
     from colate_tpu.config import AGE_BIN_C, NUM_AGE_BINS, age_bin_edges
+
+    age = 0.0
+    ref_age = 0.0
 
     lib = native.load()
     t_seg = _static_segments(target, chrom_names)

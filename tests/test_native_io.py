@@ -184,6 +184,66 @@ def test_fused_tmptmp_with_masks_and_missing_chrom(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_fused_tmptmp_nonzero_age_matches_staged(tmp_path):
+    """tmp inputs force age=ref_age=0 in the reference (parse_tmptmp,
+    coal.cpp:2073-2074); the fused native path must ignore nonzero
+    caller ages exactly like the staged join_tmptmp path does."""
+    from helpers.synth import make_fixture
+
+    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=2500, seed=91)
+    (hs, ns, nb, tgt, ref) = _staged_hists(fix)
+    files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]
+    fused = fused_tmptmp_hists(
+        fix["chroms"], files, tgt, ref, None, None, 0.5, 0.3
+    )
+    assert fused is not None
+    hf, ns_f, nb_f = fused
+    assert (ns_f, nb_f) == (ns, nb)
+    for a, b in zip(hf, hs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_run_mut_nonzero_age_fused_matches_staged(tmp_path):
+    """End-to-end: mode mut on tmp inputs with nonzero --target_age /
+    --reference_age must produce identical rates through the fused
+    native path and the staged fallback."""
+    from helpers.synth import make_fixture
+
+    from colate_tpu.config import MutRunConfig
+    from colate_tpu.models.mut_em import run_mut
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=1500, seed=17)
+
+    def cfg(**kw):
+        return MutRunConfig(
+            mut=fix["mut_prefix"],
+            output=str(tmp_path / "out"),
+            chr_list=list(fix["chroms"]),
+            target_tmp=fix["target"],
+            reference_tmp=fix["reference"],
+            bins="3,7,0.2",
+            seed=5,
+            target_age=14000.0,
+            reference_age=8000.0,
+            **kw,
+        )
+
+    res_fused = run_mut(cfg())
+    import colate_tpu.pipeline.join as join_mod
+
+    real_pf = join_mod.mut_prefilter_native
+    join_mod.mut_prefilter_native = lambda *a, **k: None  # force staged path
+    try:
+        res_staged = run_mut(cfg())
+    finally:
+        join_mod.mut_prefilter_native = real_pf
+    assert res_fused.num_sites == res_staged.num_sites
+    assert res_fused.num_blocks == res_staged.num_blocks
+    np.testing.assert_array_equal(res_fused.rates, res_staged.rates)
+
+
 def test_fused_tmptmp_duplicate_chroms_falls_back(tmp_path):
     from helpers.synth import make_fixture
 
