@@ -8,6 +8,16 @@ is the baseline (there are no published numbers, BASELINE.md).  If the
 reference can't be built here, the last measured baseline stored in
 BENCH_BASELINE.json is used.
 
+Besides the north-star it measures the device-scale workloads and
+writes every number to BENCH_DETAILS.json:
+- bootstrap-batched EM at B=128 and B=1024: reference-style sequential
+  host EM vs the batched [B,185,E] JAX EM on the TPU (the reference
+  runs bootstraps one at a time, coal.cpp:3675) — the device-dominant
+  path; also the measured basis of config.EM_HOST_MAX_B.
+- 10M-site analytic binning: host-native vs the slab-streamed device
+  kernel (the measured basis for the host-first binning dispatch on
+  tunnel-attached chips).
+
 Prints ONE json line:
   {"metric": "mut_sites_per_sec", "value": N, "unit": "sites/s", "vs_baseline": N}
 """
@@ -140,6 +150,190 @@ def time_ours(fix) -> tuple[float, int, dict]:
     return best
 
 
+def _suffstats(fix):
+    """Fused-native sufficient statistics for the bench fixture."""
+    from colate_tpu.formats.colate_in import read_colate_in
+    from colate_tpu.pipeline.join import fused_tmptmp_hists
+
+    files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]
+    tgt = read_colate_in(fix["target"])
+    ref = read_colate_in(fix["reference"])
+    hists, ns, nb = fused_tmptmp_hists(
+        fix["chroms"], files, tgt, ref, None, None
+    )
+    return hists, ns, nb
+
+
+def bench_em_batched(fix, details: dict, oracle: str | None) -> None:
+    """Bootstrap-batched EM: sequential host provider vs batched device EM.
+
+    The reference runs its bootstraps sequentially (coal.cpp:3675); the
+    host provider (native/em.cpp) replicates that loop ~20x faster, and
+    the JAX path runs all replicates as one [B,185,E] batch on the TPU.
+    """
+    import numpy as np
+
+    from colate_tpu.config import INITIAL_COAL_RATE
+    from colate_tpu.hostrng import MT19937
+    from colate_tpu.ops.bootstrap import (
+        bootstrap_weights,
+        redistribute_emp,
+        weighted_counts,
+    )
+    from colate_tpu.ops.em import run_em, run_em_native
+    from colate_tpu.ops.epochs import epochs_from_bins
+
+    (sh_b, ns_b, se_b, ne_b), num_sites, nb = _suffstats(fix)
+    epochs, _ = epochs_from_bins("3,7,0.2", 28.0, 0.0)
+    init = np.full(epochs.shape, INITIAL_COAL_RATE)
+
+    import jax
+    import jax.numpy as jnp
+
+    for B in (128, 1024):
+        # distinct counts per timed repetition: the runtime memoises
+        # repeat executions with identical input buffers, so re-timing
+        # the same arrays reads ~0
+        reps = []
+        for seed in (1, 2, 3):
+            w = bootstrap_weights(B, nb, rng=MT19937(seed), seed=seed)
+            sc_i, nc_i, se, ne = weighted_counts(w, sh_b, ns_b, se_b, ne_b)
+            sc_i = redistribute_emp(sc_i, se, ne, age=0.0)
+            reps.append((sc_i, nc_i))
+        sc, nc = reps[-1]
+
+        t0 = time.time()
+        r_h, _, _ = run_em_native(epochs, init, sc, nc)
+        t_host = time.time() - t0
+
+        e_j, i_j = jnp.asarray(epochs), jnp.asarray(init)
+        t0 = time.time()
+        out = run_em(
+            e_j, i_j, jnp.asarray(reps[0][0]), jnp.asarray(reps[0][1]),
+            dtype="float32",
+        )
+        jax.block_until_ready(out)
+        t_cold = time.time() - t0
+        t_dev = None
+        # timed inputs were never executed before (no memoised replays);
+        # the loop ends on reps[-1], matching r_h above
+        for sc_i, nc_i in reps[1:]:
+            t0 = time.time()
+            out = run_em(
+                e_j, i_j, jnp.asarray(sc_i), jnp.asarray(nc_i), dtype="float32"
+            )
+            jax.block_until_ready(out)
+            dt = time.time() - t0
+            t_dev = dt if t_dev is None else min(t_dev, dt)
+        r_d = np.asarray(out[0])
+        meaningful = r_h > 1e-8
+        relerr = float(
+            np.max(np.abs(r_d - r_h)[meaningful] / r_h[meaningful])
+        )
+        details[f"em_B{B}"] = {
+            "host_native_s": round(t_host, 3),
+            "device_f32_warm_s": round(t_dev, 4),
+            "device_f32_cold_s": round(t_cold, 2),
+            "device_speedup_warm": round(t_host / t_dev, 1),
+            "f32_vs_f64_max_relerr": round(relerr, 5),
+        }
+        log(
+            f"EM B={B}: host {t_host:.2f}s, device warm {t_dev:.3f}s "
+            f"({t_host / t_dev:.0f}x), cold {t_cold:.1f}s, "
+            f"f32 relerr {relerr:.1e}"
+        )
+
+    if oracle is not None:
+        # reference at B=128: second run reuses <out>.colate_mat so the
+        # measured wall-clock is its sequential EM (+ small I/O)
+        out = os.path.join(BENCH_DIR, "ref_em_bench")
+        for f in (out + ".coal", out + ".colate_mat"):
+            if os.path.exists(f):
+                os.remove(f)
+        cmd = [
+            oracle, "--mode", "mut",
+            "--mut", fix["mut_prefix"],
+            "--target_tmp", fix["target"],
+            "--reference_tmp", fix["reference"],
+            "--chr", fix["chrfile"],
+            "--bins", "3,7,0.2",
+            "--seed", "1",
+            "--num_bootstraps", "128",
+            "-o", out,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
+            t0 = time.time()
+            subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
+            ref_em = time.time() - t0
+            details["em_B128"]["reference_s"] = round(ref_em, 1)
+            dev = details["em_B128"]["device_f32_warm_s"]
+            details["em_B128"]["device_vs_reference"] = round(ref_em / dev, 1)
+            log(
+                f"EM B=128 reference (cached-matrix run): {ref_em:.1f}s "
+                f"-> device {ref_em / dev:.0f}x"
+            )
+        except Exception as e:
+            log(f"reference B=128 EM bench unavailable: {e}")
+
+
+def bench_binning(details: dict) -> None:
+    """10M-site analytic binning: host-native vs the device slab kernel."""
+    import numpy as np
+
+    from colate_tpu.pipeline.binning import (
+        bin_sites_analytic,
+        bin_sites_analytic_native,
+    )
+    from colate_tpu.pipeline.join import JoinedSites
+
+    N = 10_000_000
+    NB = 96
+    g = np.random.default_rng(0)
+    ab = np.exp(g.uniform(np.log(1e-1), np.log(1e4), N))
+    ae = ab * np.exp(g.uniform(0.05, 2.0, N))
+    emp = g.uniform(size=N) < 0.1
+    ab[emp] = 0.0
+    sites = JoinedSites(
+        age_begin=ab, age_end=ae,
+        w_shared=g.uniform(0, 2, N), w_notshared=g.uniform(0, 2, N),
+        block_id=np.sort(g.integers(0, NB, N)).astype(np.int32),
+        num_blocks=NB,
+    )
+    t_host = None
+    for _ in range(3):
+        t0 = time.time()
+        h_host = bin_sites_analytic_native(sites)
+        dt = time.time() - t0
+        t_host = dt if t_host is None else min(t_host, dt)
+    t0 = time.time()
+    h_dev = bin_sites_analytic(sites)
+    t_cold = time.time() - t0
+    t_dev = None
+    for _ in range(3):
+        t0 = time.time()
+        h_dev = bin_sites_analytic(sites)
+        dt = time.time() - t0
+        t_dev = dt if t_dev is None else min(t_dev, dt)
+    relerr = max(
+        float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-300))
+        for a, b in zip(h_dev, h_host)
+    )
+    details["binning_10M"] = {
+        "host_native_s": round(t_host, 2),
+        "host_sites_per_sec": round(N / t_host, -3),
+        "device_warm_s": round(t_dev, 2),
+        "device_sites_per_sec": round(N / t_dev, -3),
+        "device_cold_s": round(t_cold, 2),
+        "f32_max_relerr": round(relerr, 8),
+        "winner": "host" if t_host < t_dev else "device",
+    }
+    log(
+        f"binning 10M sites: host {t_host:.2f}s ({N / t_host / 1e6:.1f}M/s), "
+        f"device warm {t_dev:.2f}s ({N / t_dev / 1e6:.1f}M/s), relerr {relerr:.1e}"
+    )
+
+
 def main() -> None:
     fix = ensure_fixture()
     oracle = ensure_oracle()
@@ -177,6 +371,34 @@ def main() -> None:
     elif os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fh:
             ref_sites_per_sec = json.load(fh)["reference_sites_per_sec"]
+
+    details = {
+        "north_star": {
+            "ours_s": round(our_dt, 3),
+            "ours_sites_per_sec": round(ours_sps, 1),
+            "reference_s": None if ref_dt is None else round(ref_dt, 2),
+            "num_sites": num_sites,
+            "stages": {k: round(v, 3) for k, v in timings.items()},
+        }
+    }
+    try:
+        bench_em_batched(fix, details, oracle)
+    except Exception as e:
+        log(f"EM batched bench failed: {e}")
+    try:
+        bench_binning(details)
+    except Exception as e:
+        log(f"binning bench failed: {e}")
+    details["notes"] = (
+        "EM dispatch: host native for one-shot B<=config.EM_HOST_MAX_B "
+        "(measured crossover ~800 incl. jit compile through the axon "
+        "tunnel); batched JAX EM above, and from B~8 when the compile is "
+        "amortised (warm numbers above). Binning dispatch: host-native "
+        "first on tunnel-attached chips (transfer latency dominates); "
+        "the device slab kernel is the mesh-sharded/multi-host path."
+    )
+    with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as fh:
+        json.dump(details, fh, indent=1)
 
     vs = (ours_sps / ref_sites_per_sec) if ref_sites_per_sec else 0.0
     print(

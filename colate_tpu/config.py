@@ -28,6 +28,19 @@ EM_MAX_ITER: int = 100_000
 EM_MIN_ITER: int = 1000
 EM_CONV_RATIO: float = 1.0 - 1e-7
 
+# Host/device EM dispatch threshold for one-shot (CLI) runs, measured on
+# a v5e chip through the axon tunnel (2026-08-18, bench-fixture counts,
+# E=23, ~1000 iterations):
+#   host native (ops/em.py:run_em_native): ~5.7 ms per replicate, linear
+#     (B=1: 0.022s ... B=1024: 5.9s)
+#   device JAX f32 (run_em): warm 0.04s (B=8) ... 0.57s (B=1024), but a
+#     one-shot process pays jit+XLA compile: ~14.5s cold, ~4.7s with the
+#     warm remote compile cache.
+# One-shot crossover = 4.7s / 5.7ms ≈ 820 -> host keeps B <= 800.
+# Long-lived processes (bench, servers) amortise the compile: the device
+# wins from B ≈ 8 there and bench.py measures that path explicitly.
+EM_HOST_MAX_B: int = 800
+
 # Normalisation applied to counts when a .colate_mat cache is written
 # (coal.cpp:3453).
 COLATE_MAT_NORM: float = 1e3

@@ -162,13 +162,14 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                     ref_age,
                 )
             elif cfg.target_bcf:
-                from colate_tpu.pipeline.binning import MAX_BLOCKS
                 from colate_tpu.pipeline.join_vcf import join_vcf_split
 
                 split_rng = rng if parity else MT19937(seed)
                 if parity:
+                    # 4096 blocks of 30 Mb ≈ a 123 Gb genome — ample for
+                    # the split-mode parity replay scratch histograms
                     mc_hists = tuple(
-                        np.zeros((MAX_BLOCKS, nbins), np.float64) for _ in range(4)
+                        np.zeros((4096, nbins), np.float64) for _ in range(4)
                     )
                 sites = join_vcf_split(
                     chroms,
@@ -327,9 +328,13 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     t0 = time.time()
     em_dtype = cfg.em_dtype
     out = None
-    if em_dtype == "auto" and B <= 64 and not parity:
-        # small-batch EMs are pure dispatch latency on an accelerator;
-        # the host provider (ops/em.py:run_em_native, f64) takes them.
+    from colate_tpu.config import EM_HOST_MAX_B
+
+    if em_dtype == "auto" and B <= EM_HOST_MAX_B and not parity:
+        # One-shot host/device crossover measured at B ≈ 800 on a v5e
+        # (see config.EM_HOST_MAX_B): below it the host provider
+        # (ops/em.py:run_em_native, f64) beats device-EM + compile; above
+        # it the batched [B,185,E] JAX path wins even paying the compile.
         # Parity runs are excluded: the native provider's ~1e-13
         # deviation from the JAX f64 EM could in rare cases flip the
         # 6th printed significant digit at a rounding boundary, so

@@ -1,0 +1,712 @@
+// Streaming BGZF/BAM/BCF decoders — the native, bounded-memory
+// replacements for the whole-file Python readers at real-data scale.
+//
+// The reference reads these formats through vendored htslib
+// (include/vcf/htslib.cpp:379-436 read_entry; bgzf block streaming in
+// include/vcf/bgzf.c).  This file re-implements the subset Colate
+// touches from scratch, streaming:
+//
+// - ByteStream: incremental inflate of concatenated gzip members
+//   (which is exactly what BGZF is), bounded input buffer;
+// - BamStream: BAM header + record-at-a-time parse;
+// - BamPileup: the bam_parser pileup engine (htslib.cpp:60-169) as a
+//   query-driven cursor — per contig it answers a sorted list of
+//   positions with (claimed, ACGT counts) while holding only the
+//   current record, O(n_queries) output and O(1) window state, unlike
+//   the flat per-contig count arrays of the Python oracle
+//   (colate_tpu/models/bam_pileup.py, kept as the equivalence oracle);
+// - BcfC: streaming BCF2 → columnar arrays matching formats/vcf.py's
+//   VcfTable semantics exactly (first int-typed FORMAT field is GT,
+//   (v>>1)-1 decode, missing -1, max-width padding).
+//
+// C ABI only (ctypes; no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+static void set_err(char* errbuf, int errlen, const char* msg) {
+  if (errbuf && errlen > 0) {
+    std::snprintf(errbuf, (size_t)errlen, "%s", msg);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Streaming byte source: plain file or concatenated gzip members (BGZF).
+// ---------------------------------------------------------------------------
+struct ByteStream {
+  FILE* f = nullptr;
+  bool gz = false;
+  bool z_live = false;
+  z_stream zs{};
+  std::vector<unsigned char> inbuf;
+  size_t in_len = 0;   // valid bytes in inbuf
+  size_t in_pos = 0;   // consumed bytes
+  bool file_eof = false;
+
+  bool open(const char* path) {
+    f = std::fopen(path, "rb");
+    if (!f) return false;
+    inbuf.resize(1 << 20);
+    int c0 = std::fgetc(f);
+    int c1 = std::fgetc(f);
+    std::rewind(f);
+    gz = (c0 == 0x1f && c1 == 0x8b);
+    if (gz) {
+      std::memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, 31) != Z_OK) return false;
+      z_live = true;
+    }
+    return true;
+  }
+
+  void close() {
+    if (z_live) inflateEnd(&zs);
+    z_live = false;
+    if (f) std::fclose(f);
+    f = nullptr;
+  }
+
+  bool fill() {
+    if (in_pos < in_len) return true;
+    if (file_eof) return false;
+    in_len = std::fread(inbuf.data(), 1, inbuf.size(), f);
+    in_pos = 0;
+    if (in_len == 0) {
+      file_eof = true;
+      return false;
+    }
+    return true;
+  }
+
+  // Read up to n bytes; returns bytes produced (0 at end of data).
+  size_t read(unsigned char* dst, size_t n) {
+    if (!gz) {
+      size_t got = 0;
+      while (got < n) {
+        if (!fill()) break;
+        size_t take = std::min(n - got, in_len - in_pos);
+        std::memcpy(dst + got, inbuf.data() + in_pos, take);
+        in_pos += take;
+        got += take;
+      }
+      return got;
+    }
+    size_t got = 0;
+    while (got < n) {
+      if (zs.avail_in == 0) {
+        if (!fill()) break;
+        zs.next_in = inbuf.data() + in_pos;
+        zs.avail_in = (uInt)(in_len - in_pos);
+        in_pos = in_len;  // hand the whole buffer to zlib
+      }
+      zs.next_out = dst + got;
+      zs.avail_out = (uInt)(n - got);
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      got = n - zs.avail_out;
+      if (rc == Z_STREAM_END) {
+        // concatenated members (BGZF blocks / bgzip): start the next one
+        if (inflateReset(&zs) != Z_OK) break;
+        continue;
+      }
+      if (rc != Z_OK && rc != Z_BUF_ERROR) break;
+      if (rc == Z_BUF_ERROR && zs.avail_in == 0 && file_eof) break;
+    }
+    return got;
+  }
+
+  bool read_exact(void* dst, size_t n) {
+    return read((unsigned char*)dst, n) == n;
+  }
+};
+
+static const char NT16_STR[17] = "=ACMGRSVTWYHKDBN";
+
+// ---------------------------------------------------------------------------
+// BAM record stream.
+// ---------------------------------------------------------------------------
+struct BamStream {
+  ByteStream bs;
+  std::vector<std::string> refs;  // refID -> contig name
+  std::vector<unsigned char> rec;  // current record payload (block_size bytes)
+  // parsed fields of the current record
+  int32_t refid = -1;
+  int64_t pos = 0;
+  int mapq = 0;
+  int flag = 0;
+  int32_t l_seq = 0;
+  int l_read_name = 0;
+  int n_cigar = 0;
+
+  bool open(const char* path, char* errbuf, int errlen) {
+    if (!bs.open(path)) {
+      set_err(errbuf, errlen, "cannot open BAM file");
+      return false;
+    }
+    char magic[4];
+    if (!bs.read_exact(magic, 4) || std::memcmp(magic, "BAM\1", 4) != 0) {
+      set_err(errbuf, errlen, "not a BAM file (native path handles BAM only)");
+      return false;
+    }
+    int32_t l_text = 0;
+    if (!bs.read_exact(&l_text, 4) || l_text < 0) return false;
+    std::vector<char> text((size_t)l_text);
+    if (l_text && !bs.read_exact(text.data(), (size_t)l_text)) return false;
+    int32_t n_ref = 0;
+    if (!bs.read_exact(&n_ref, 4) || n_ref < 0) return false;
+    refs.reserve((size_t)n_ref);
+    for (int32_t i = 0; i < n_ref; i++) {
+      int32_t l_name = 0, l_ref = 0;
+      if (!bs.read_exact(&l_name, 4) || l_name <= 0) return false;
+      std::vector<char> name((size_t)l_name);
+      if (!bs.read_exact(name.data(), (size_t)l_name)) return false;
+      if (!bs.read_exact(&l_ref, 4)) return false;
+      refs.emplace_back(name.data());  // NUL-terminated in file
+    }
+    return true;
+  }
+
+  // Parse the next alignment; false at end of stream.
+  bool next() {
+    int32_t block_size = 0;
+    if (!bs.read_exact(&block_size, 4) || block_size < 32) return false;
+    rec.resize((size_t)block_size);
+    if (!bs.read_exact(rec.data(), (size_t)block_size)) return false;
+    const unsigned char* p = rec.data();
+    std::memcpy(&refid, p, 4);
+    int32_t pos32;
+    std::memcpy(&pos32, p + 4, 4);
+    pos = pos32;
+    l_read_name = p[8];
+    mapq = p[9];
+    uint16_t ncig, flg;
+    std::memcpy(&ncig, p + 12, 2);
+    std::memcpy(&flg, p + 14, 2);
+    n_cigar = ncig;
+    flag = flg;
+    std::memcpy(&l_seq, p + 16, 4);
+    return true;
+  }
+
+  const char* contig() const {
+    if (refid < 0 || (size_t)refid >= refs.size()) return "*";
+    return refs[(size_t)refid].c_str();
+  }
+  // packed 4-bit sequence (and, contiguously after it, the quals — the
+  // layout the reference's assign_contig garbled-qual quirk relies on)
+  const unsigned char* seq4() const {
+    return rec.data() + 32 + l_read_name + 4 * n_cigar;
+  }
+  const unsigned char* qual() const { return seq4() + (l_seq + 1) / 2; }
+  char base_at(int j) const {
+    unsigned v = seq4()[j >> 1];
+    return NT16_STR[(j & 1) ? (v & 0xF) : (v >> 4)];
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Query-driven pileup cursor (bam_parser semantics, htslib.cpp:60-169).
+// ---------------------------------------------------------------------------
+struct BamPileup {
+  BamStream bam;
+  int mapq_th = 20, len_th = 30, mismatch_th = 10, bq_th = 30;
+  bool strandfilter = false;
+
+  bool have_rec = false;   // a record is loaded (the "aln" slot)
+  bool fetched_any = false;
+  bool stream_end = false;
+  bool eof = false;        // per-contig eof flag (reference semantics)
+  std::string contig;      // active query contig
+  int64_t prev_pos = -1;
+  double coverage = 0, coverage_after = 0;
+  std::string error;
+
+  // per-contig query state
+  const uint8_t* ref = nullptr;
+  int64_t ref_len = 0;
+  const uint8_t* anc = nullptr;
+  int64_t anc_len = 0;
+  const int64_t* q = nullptr;  // sorted 0-based positions
+  int64_t nq = 0;
+  uint8_t* out_claimed = nullptr;
+  int32_t* out_counts = nullptr;  // [nq, 4]
+  int64_t q_lo = 0;               // first query that can still be touched
+
+  bool match(const char* c) const {
+    if (!have_rec && !fetched_any) return false;
+    if (contig == c) return true;
+    return std::strncmp(c, "chr", 3) == 0 && contig == c + 3;
+  }
+  bool cur_match() const {
+    if (!fetched_any) return false;
+    const char* c = bam.contig();
+    return contig == c ||
+           (std::strncmp(c, "chr", 3) == 0 && contig.size() &&
+            std::string("chr") + contig == c);
+  }
+
+  bool fetch() {  // sam_read1
+    if (stream_end) return false;
+    if (!bam.next()) {
+      stream_end = true;
+      return false;
+    }
+    have_rec = true;
+    fetched_any = true;
+    return true;
+  }
+
+  static int base_code(char b) {
+    switch (b) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+      default: return -1;
+    }
+  }
+
+  // count_alleles_for_read (htslib.cpp:60-169) against the sorted
+  // queries.  garbled: the assign_contig quirk — "qualities" are the
+  // packed SEQ bytes, overrunning into the real quals (htslib.cpp:549).
+  void count_alleles(bool garbled) {
+    const int64_t len = bam.l_seq;
+    if (bam.mapq < mapq_th || len < len_th) return;
+    const int64_t start = 3, end = len - 3;
+    if (end <= start) return;
+    // clip window at the genome end (positions beyond ref_len break)
+    int64_t n_in = ref_len - (bam.pos + start);
+    if (n_in > end - start) n_in = end - start;
+    if (n_in <= 0) return;
+    const unsigned char* qv = garbled ? bam.seq4() : bam.qual();
+    // pass 1: total quality bases + mismatches over the whole window
+    int total = 0, matching = 0;
+    for (int64_t j = 0; j < n_in; j++) {
+      if (qv[start + j] < bq_th) continue;
+      total++;
+      char b = bam.base_at((int)(start + j));
+      if ((char)ref[bam.pos + start + j] == b) matching++;
+    }
+    if (total == 0) return;
+    // advance the query window: no later read can touch below pos+3
+    while (q_lo < nq && q[q_lo] < bam.pos + start) q_lo++;
+    const bool pass =
+        (total - matching) <= mismatch_th;  // && total>0 established
+    if (pass) coverage_after += (double)len;
+    const bool rev = (bam.flag & 0x10) != 0;
+    for (int64_t k = q_lo; k < nq && q[k] < bam.pos + start + n_in; k++) {
+      const int64_t j = q[k] - bam.pos;  // in [start, start+n_in)
+      if (qv[j] < bq_th) continue;
+      out_claimed[k] = 1;  // claimed even when the mismatch filter fails
+      if (!pass) continue;
+      const int64_t g = q[k];
+      if (strandfilter) {
+        uint8_t rb = ref[g];
+        uint8_t ab = (g < anc_len) ? anc[g] : 0;
+        if (rev) {
+          if (rb == 'G' || ab == 'G') continue;
+        } else {
+          if (rb == 'C' || ab == 'C') continue;
+        }
+      }
+      int code = base_code(bam.base_at((int)j));
+      if (code >= 0) out_counts[4 * k + code]++;
+    }
+  }
+
+  // _process_loaded (the contig-matching body of read_entry)
+  bool process_loaded(bool garbled) {
+    count_alleles(garbled);
+    if (bam.pos < prev_pos) {
+      error = "BAM file not sorted by position";
+      return false;
+    }
+    prev_pos = bam.pos;
+    coverage += (double)bam.l_seq;
+    return true;
+  }
+
+  bool read_entry() {  // htslib.cpp:379-423
+    if (!fetch()) {
+      eof = true;
+      return false;
+    }
+    if (cur_match()) {
+      if (!process_loaded(false)) return false;
+    }
+    return true;
+  }
+
+  // assign_contig + full-contig drain, answering the queries.
+  int run_contig(const char* icontig) {
+    eof = false;
+    coverage = 0;
+    coverage_after = 0;
+    prev_pos = -1;
+    q_lo = 0;
+    if (icontig && icontig[0]) contig = icontig;
+    bool ret = true;
+    if (!fetched_any) ret = fetch();
+    while (ret && !cur_match()) ret = fetch();
+    if (ret) {
+      if (contig.empty()) contig = bam.contig();
+      if (!process_loaded(true)) return -1;  // garbled-qual first read
+    } else {
+      eof = true;
+      return 0;
+    }
+    // drain_contig: provably count-equivalent to the reference's
+    // horizon-limited read_to_pos walk for monotone queries
+    // (htslib.cpp:426-436; see models/bam_pileup.py:drain_contig)
+    while (!eof && cur_match()) {
+      if (!read_entry()) {
+        if (!error.empty()) return -1;
+        break;
+      }
+    }
+    return 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Streaming BCF2 → columnar (formats/vcf.py parity).
+// ---------------------------------------------------------------------------
+struct BcfC {
+  std::vector<int64_t> pos;       // 1-based
+  std::vector<int32_t> n_allele;
+  std::vector<int32_t> chrom_id;
+  // allele strings
+  std::vector<char> ref_blob, alt_blob;
+  std::vector<uint64_t> ref_off, alt_off;
+  // GT rows (ragged until finish)
+  std::vector<int8_t> gt;         // [n, width] after finish
+  std::vector<int8_t> gt_ragged;
+  std::vector<uint64_t> gt_row_off;
+  // contig id -> name (from header)
+  std::vector<char> cname_blob;
+  std::vector<uint64_t> cname_off;
+  std::vector<int64_t> cname_idx;
+  int64_t n_samples = 0;
+  int64_t ploidy = 2;
+  int64_t width = 0;
+  std::string header_text;
+};
+
+struct Cursor {
+  const unsigned char* p;
+  const unsigned char* end;
+  bool ok = true;
+  uint8_t u8() {
+    if (p >= end) { ok = false; return 0; }
+    return *p++;
+  }
+  void skip(size_t n) {
+    if ((size_t)(end - p) < n) { ok = false; p = end; return; }
+    p += n;
+  }
+  int64_t typed_int() {
+    uint8_t t = u8();
+    int ty = t & 0x0F;
+    if (ty == 1) { int8_t v; if ((size_t)(end-p) < 1) {ok=false; return 0;} std::memcpy(&v, p, 1); p += 1; return v; }
+    if (ty == 2) { int16_t v; if ((size_t)(end-p) < 2) {ok=false; return 0;} std::memcpy(&v, p, 2); p += 2; return v; }
+    if (ty == 3) { int32_t v; if ((size_t)(end-p) < 4) {ok=false; return 0;} std::memcpy(&v, p, 4); p += 4; return v; }
+    ok = false;
+    return 0;
+  }
+  void type_desc(int* ty, int64_t* cnt) {
+    uint8_t t = u8();
+    *ty = t & 0x0F;
+    *cnt = t >> 4;
+    if (*cnt == 15) *cnt = typed_int();
+  }
+};
+
+static int bcf_type_size(int ty) {
+  switch (ty) {
+    case 0: return 0;
+    case 1: return 1;
+    case 2: return 2;
+    case 3: return 4;
+    case 5: return 4;
+    case 7: return 1;
+    default: return 1;
+  }
+}
+
+// split on commas outside double quotes (header contig lines)
+static void split_csv(const std::string& s, std::vector<std::string>* out) {
+  std::string cur;
+  bool quoted = false;
+  for (char ch : s) {
+    if (ch == '"') quoted = !quoted;
+    if (ch == ',' && !quoted) {
+      out->push_back(cur);
+      cur.clear();
+    } else {
+      cur.push_back(ch);
+    }
+  }
+  if (!cur.empty()) out->push_back(cur);
+}
+
+static void parse_bcf_header(BcfC* out) {
+  const std::string& text = out->header_text;
+  size_t pos = 0;
+  int64_t auto_idx = 0;
+  while (pos < text.size()) {
+    size_t nl = text.find('\n', pos);
+    if (nl == std::string::npos) nl = text.size();
+    std::string ln = text.substr(pos, nl - pos);
+    pos = nl + 1;
+    if (ln.rfind("##contig=<", 0) == 0) {
+      size_t close = ln.rfind('>');
+      if (close == std::string::npos) close = ln.size();
+      std::string body = ln.substr(10, close - 10);
+      std::vector<std::string> fields;
+      split_csv(body, &fields);
+      std::string name = "contig" + std::to_string(auto_idx);
+      int64_t idx = auto_idx;
+      for (const auto& kv : fields) {
+        size_t eq = kv.find('=');
+        if (eq == std::string::npos) continue;
+        std::string k = kv.substr(0, eq), v = kv.substr(eq + 1);
+        if (k == "ID") name = v;
+        else if (k == "IDX") idx = std::strtoll(v.c_str(), nullptr, 10);
+      }
+      out->cname_idx.push_back(idx);
+      out->cname_off.push_back(out->cname_blob.size());
+      out->cname_blob.insert(out->cname_blob.end(), name.begin(), name.end());
+      auto_idx++;
+    } else if (ln.rfind("#CHROM", 0) == 0) {
+      int64_t tabs = 0;
+      for (char c : ln) tabs += (c == '\t');
+      out->n_samples = tabs + 1 > 9 ? tabs + 1 - 9 : 0;
+    }
+  }
+  out->cname_off.push_back(out->cname_blob.size());
+}
+
+static BcfC* read_bcf_stream(const char* path, char* errbuf, int errlen) {
+  ByteStream bs;
+  if (!bs.open(path)) {
+    set_err(errbuf, errlen, "cannot open BCF file");
+    return nullptr;
+  }
+  char magic[5];
+  if (!bs.read_exact(magic, 5) || std::memcmp(magic, "BCF", 3) != 0) {
+    bs.close();
+    set_err(errbuf, errlen, "not-bcf");  // caller falls back to text parse
+    return nullptr;
+  }
+  BcfC* out = new BcfC();
+  uint32_t l_text = 0;
+  if (!bs.read_exact(&l_text, 4)) { bs.close(); delete out; return nullptr; }
+  std::vector<char> text(l_text);
+  if (l_text && !bs.read_exact(text.data(), l_text)) {
+    bs.close();
+    delete out;
+    return nullptr;
+  }
+  // strip trailing NULs like Python's rstrip(b"\0")
+  size_t tl = text.size();
+  while (tl && text[tl - 1] == '\0') tl--;
+  out->header_text.assign(text.data(), tl);
+  parse_bcf_header(out);
+
+  std::vector<unsigned char> rec;
+  out->gt_row_off.push_back(0);
+  for (;;) {
+    uint32_t l_shared = 0, l_indiv = 0;
+    if (!bs.read_exact(&l_shared, 4)) break;
+    if (!bs.read_exact(&l_indiv, 4)) break;
+    rec.resize((size_t)l_shared + l_indiv);
+    if (!bs.read_exact(rec.data(), rec.size())) break;  // truncated record
+    if (l_shared < 24) break;
+    const unsigned char* sh = rec.data();
+    int32_t chrom_id, pos0;
+    std::memcpy(&chrom_id, sh, 4);
+    std::memcpy(&pos0, sh + 4, 4);
+    uint32_t n_info_allele, n_fmt_sample;
+    std::memcpy(&n_info_allele, sh + 16, 4);
+    std::memcpy(&n_fmt_sample, sh + 20, 4);
+    int64_t n_allele = n_info_allele >> 16;
+    int64_t n_sample = n_fmt_sample & 0xFFFFFF;
+    int n_fmt = (int)(n_fmt_sample >> 24);
+
+    Cursor c{sh + 24, sh + l_shared};
+    // ID (typed string)
+    {
+      int ty; int64_t cnt;
+      c.type_desc(&ty, &cnt);
+      c.skip((size_t)cnt * bcf_type_size(ty));
+    }
+    // alleles
+    std::string a0, a1;
+    for (int64_t i = 0; i < n_allele && c.ok; i++) {
+      int ty; int64_t cnt;
+      c.type_desc(&ty, &cnt);
+      if ((size_t)(c.end - c.p) < (size_t)cnt) { c.ok = false; break; }
+      if (i == 0) a0.assign((const char*)c.p, (size_t)cnt);
+      else if (i == 1) a1.assign((const char*)c.p, (size_t)cnt);
+      c.p += cnt;
+    }
+    // indiv block: first int-typed FORMAT field is GT (vcf.py parity)
+    Cursor ind{rec.data() + l_shared, rec.data() + rec.size()};
+    bool have_gt = false;
+    int64_t row_len = 0;
+    for (int fi = 0; fi < n_fmt && ind.ok; fi++) {
+      // fmt key: typed scalar int
+      {
+        int ty; int64_t cnt;
+        ind.type_desc(&ty, &cnt);
+        int sz = bcf_type_size(ty);
+        ind.skip((size_t)cnt * sz);
+      }
+      int ty; int64_t per_sample;
+      ind.type_desc(&ty, &per_sample);
+      int sz = bcf_type_size(ty);
+      size_t total = (size_t)per_sample * (size_t)n_sample * (size_t)sz;
+      if ((size_t)(ind.end - ind.p) < total) { ind.ok = false; break; }
+      if (!have_gt && (ty == 1 || ty == 2 || ty == 3)) {
+        have_gt = true;
+        row_len = per_sample * n_sample;
+        for (int64_t s = 0; s < n_sample * per_sample; s++) {
+          int32_t v = 0;
+          if (ty == 1) { int8_t x; std::memcpy(&x, ind.p + s, 1); v = x; }
+          else if (ty == 2) { int16_t x; std::memcpy(&x, ind.p + 2 * s, 2); v = x; }
+          else { int32_t x; std::memcpy(&x, ind.p + 4 * s, 4); v = x; }
+          out->gt_ragged.push_back((int8_t)((v >> 1) - 1));
+        }
+        out->ploidy = per_sample;
+      }
+      ind.p += total;
+    }
+    if (!have_gt) {
+      // Python fills a full -1 row of n_samples*ploidy
+      row_len = out->n_samples * out->ploidy;
+      for (int64_t s = 0; s < row_len; s++) out->gt_ragged.push_back(-1);
+    }
+    out->gt_row_off.push_back(out->gt_ragged.size());
+    if (row_len > out->width) out->width = row_len;
+
+    out->chrom_id.push_back(chrom_id);
+    out->pos.push_back((int64_t)pos0 + 1);
+    out->n_allele.push_back((int32_t)n_allele);
+    out->ref_off.push_back(out->ref_blob.size());
+    out->ref_blob.insert(out->ref_blob.end(), a0.begin(), a0.end());
+    out->alt_off.push_back(out->alt_blob.size());
+    out->alt_blob.insert(out->alt_blob.end(), a1.begin(), a1.end());
+  }
+  bs.close();
+  out->ref_off.push_back(out->ref_blob.size());
+  out->alt_off.push_back(out->alt_blob.size());
+  // re-layout GT to [n, width], -1 padded
+  size_t n = out->pos.size();
+  out->gt.assign(n * (size_t)out->width, -1);
+  for (size_t i = 0; i < n; i++) {
+    uint64_t lo = out->gt_row_off[i], hi = out->gt_row_off[i + 1];
+    std::memcpy(out->gt.data() + i * (size_t)out->width,
+                out->gt_ragged.data() + lo, hi - lo);
+  }
+  out->gt_ragged.clear();
+  out->gt_ragged.shrink_to_fit();
+  if (out->n_samples == 0 && out->ploidy > 0)
+    out->n_samples = out->width / out->ploidy;
+  return out;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void* cn_bam_open(const char* path, int mapq_th, int len_th, int mismatch_th,
+                  int strandfilter, char* errbuf, int errlen) {
+  BamPileup* h = new BamPileup();
+  h->mapq_th = mapq_th;
+  h->len_th = len_th;
+  h->mismatch_th = mismatch_th;
+  h->strandfilter = strandfilter != 0;
+  if (!h->bam.open(path, errbuf, errlen)) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+// Process one contig: seek to it, stream every read, answer the sorted
+// 0-based queries.  Returns 0 ok, -1 error (errbuf).
+int cn_bam_contig(void* hv, const char* contig, const uint8_t* ref,
+                  int64_t ref_len, const uint8_t* anc, int64_t anc_len,
+                  const int64_t* q, int64_t nq, uint8_t* out_claimed,
+                  int32_t* out_counts, double* out_cov,
+                  double* out_cov_after, char* errbuf, int errlen) {
+  BamPileup* h = (BamPileup*)hv;
+  h->ref = ref;
+  h->ref_len = ref_len;
+  h->anc = anc;
+  h->anc_len = anc_len;
+  h->q = q;
+  h->nq = nq;
+  h->out_claimed = out_claimed;
+  h->out_counts = out_counts;
+  std::memset(out_claimed, 0, (size_t)nq);
+  std::memset(out_counts, 0, (size_t)nq * 4 * sizeof(int32_t));
+  int rc = h->run_contig(contig);
+  if (rc != 0) {
+    set_err(errbuf, errlen,
+            h->error.empty() ? "BAM pileup failed" : h->error.c_str());
+    return -1;
+  }
+  *out_cov = h->coverage;
+  *out_cov_after = h->coverage_after;
+  return 0;
+}
+
+void cn_bam_close(void* hv) { delete (BamPileup*)hv; }
+
+void* cn_bcf_read(const char* path, char* errbuf, int errlen) {
+  return read_bcf_stream(path, errbuf, errlen);
+}
+
+int64_t cn_bcf_n(void* hv) { return (int64_t)((BcfC*)hv)->pos.size(); }
+
+int64_t cn_bcf_meta(void* hv, int which) {
+  BcfC* h = (BcfC*)hv;
+  switch (which) {
+    case 0: return h->n_samples;
+    case 1: return h->ploidy;
+    case 2: return h->width;
+    default: return -1;
+  }
+}
+
+void* cn_bcf_col(void* hv, int col, int64_t* nbytes) {
+  BcfC* h = (BcfC*)hv;
+  switch (col) {
+    case 0: *nbytes = (int64_t)(h->pos.size() * 8); return h->pos.data();
+    case 1: *nbytes = (int64_t)(h->n_allele.size() * 4); return h->n_allele.data();
+    case 2: *nbytes = (int64_t)(h->chrom_id.size() * 4); return h->chrom_id.data();
+    case 3: *nbytes = (int64_t)h->ref_blob.size(); return h->ref_blob.data();
+    case 4: *nbytes = (int64_t)(h->ref_off.size() * 8); return h->ref_off.data();
+    case 5: *nbytes = (int64_t)h->alt_blob.size(); return h->alt_blob.data();
+    case 6: *nbytes = (int64_t)(h->alt_off.size() * 8); return h->alt_off.data();
+    case 7: *nbytes = (int64_t)h->gt.size(); return h->gt.data();
+    case 8: *nbytes = (int64_t)h->cname_blob.size(); return h->cname_blob.data();
+    case 9: *nbytes = (int64_t)(h->cname_off.size() * 8); return h->cname_off.data();
+    case 10: *nbytes = (int64_t)(h->cname_idx.size() * 8); return h->cname_idx.data();
+    default: *nbytes = -1; return nullptr;
+  }
+}
+
+void cn_bcf_free(void* hv) { delete (BcfC*)hv; }
+
+}  // extern "C"

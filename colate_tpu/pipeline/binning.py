@@ -43,18 +43,51 @@ from colate_tpu.hostrng import MT19937
 from colate_tpu.pipeline.join import JoinedSites
 
 
-# Histograms are computed over a fixed padded block axis so the compiled
-# kernel is shape-stable across datasets (the reference also allocates a
-# fixed 500 blocks, coal.cpp:3141).  Sites are padded to power-of-two
-# buckets for the same reason.
-MAX_BLOCKS = 512
+# Loud upper bound on the block axis (the reference allocates 500 fixed
+# blocks and silently overruns past them, coal.cpp:3141 — we fail loudly
+# instead).  The device kernel's segment-sum buckets num_blocks to a few
+# static sizes so compiles stay bounded; 30 Mb blocks put a whole human
+# genome at ~120 blocks, so the cap is ~500x headroom.
+MAX_BLOCKS = 65536
+_BLOCK_BUCKETS = (128, 1024, 8192, MAX_BLOCKS)
+
+# Sites stream to the device in slabs (2 packed transfers each — every
+# individual host->device transfer through the axon tunnel pays ~30 ms
+# latency) and the kernel fori-loops over fixed-size chunks on device,
+# bounding the [chunk, 186] intermediates.
+_CHUNK = 262144
+_SLAB = 16 * _CHUNK  # 4.2M sites, ~113 MB packed
 
 
 def _next_bucket(n: int) -> int:
     b = 1024
     while b < n:
         b *= 2
-    return b
+    return min(b, _SLAB)
+
+
+def _block_bucket(nb: int) -> int:
+    for b in _BLOCK_BUCKETS:
+        if nb <= b:
+            return b
+    raise ValueError(f"num_blocks={nb} exceeds MAX_BLOCKS={MAX_BLOCKS}")
+
+
+# pooled pack buffers keyed by bucket size: (f32 [4,m], int32 [3,m],
+# f64 scratch [m], bool scratch [m]), pre-faulted on first use.  Worst
+# case the pool holds the slab bucket plus one tail bucket (~230 MB).
+_pack_pool: dict[int, tuple] = {}
+
+
+def _pack_buffers(m: int):
+    buf = _pack_pool.get(m)
+    if buf is None:
+        f = np.zeros((4, m), np.float32)
+        ints = np.zeros((3, m), np.int32)
+        s64 = np.zeros(m, np.float64)
+        b8 = np.zeros(m, bool)
+        _pack_pool[m] = buf = (f, ints, s64, b8)
+    return buf
 
 
 def bin_sites_analytic_native(sites: JoinedSites, age: float = 0.0):
@@ -94,36 +127,76 @@ def bin_sites_analytic(sites: JoinedSites, age: float = 0.0):
 
     NOTE: tmp-mode parsing forces age=0 (coal.cpp:2073-2074) — `age` is
     accepted for the direct-BCF/BAM parsers which pass the real sample age.
-    """
+
+    Data flow (measured on v5e through the axon tunnel, 2026-08-18):
+    host→device bandwidth ~1.4 GB/s dominates, so everything the kernel
+    needs in full precision — the emp flag (f64 `age_begin <= age`) and
+    the emp bin index (f64 log-edge rounding, must match the reference's
+    `bin_of_age`) — is precomputed on host and the wire payload is 21
+    bytes/site of f32/int32/int8.  The device does the [n, 185] overlap
+    expectation in f32 (analytic mode is an expectation of the
+    reference's 100-draw MC; per-site f32 rounding is far inside that
+    approximation — the bit-exact path is bin_sites_mc_parity) and
+    reduces over blocks with a sorted segment-sum; per-chunk partials
+    accumulate into f64 on host."""
     nb = sites.num_blocks
-    if nb > MAX_BLOCKS:
-        raise ValueError(f"num_blocks={nb} exceeds MAX_BLOCKS={MAX_BLOCKS}")
+    nseg = _block_bucket(max(nb, 1))  # raises past MAX_BLOCKS
     n = len(sites)
-    # fixed-size chunks keep the [chunk, 186] intermediates bounded and the
-    # compiled kernel shape-stable; small inputs use one snug bucket
-    chunk = min(_next_bucket(max(n, 1)), 65536)
-    acc = None
-    for lo in range(0, max(n, 1), chunk):
-        hi = min(lo + chunk, n)
-        m = hi - lo
-        pad = chunk - m
-        ab = np.concatenate([sites.age_begin[lo:hi], np.full(pad, 1.0)])
-        ae = np.concatenate([sites.age_end[lo:hi], np.full(pad, 2.0)])
-        ws = np.concatenate([sites.w_shared[lo:hi], np.zeros(pad)])
-        wn = np.concatenate([sites.w_notshared[lo:hi], np.zeros(pad)])
-        # zero-weight padding keeps block ids nondecreasing (block_id is
-        # globally sorted by construction) so the device segment-sum can
-        # use the sorted fast path
-        blk = np.concatenate(
-            [sites.block_id[lo:hi], np.full(pad, MAX_BLOCKS - 1, np.int32)]
-        ).astype(np.int32)
-        out = _bin_analytic_jit(ab, ae, ws, wn, blk, MAX_BLOCKS, float(age))
-        # accumulate on device (f64): chunks pipeline without host syncs
-        if acc is None:
-            acc = list(out)
-        else:
-            acc = [a + o for a, o in zip(acc, out)]
-    return tuple(np.asarray(a[:nb]) for a in acc)
+    nbins = NUM_AGE_BINS
+
+    ab64 = np.asarray(sites.age_begin, np.float64)
+    ae64 = np.asarray(sites.age_end, np.float64)
+
+    acc = [np.zeros((nseg, nbins), np.float64) for _ in range(4)]
+    pending = []  # [nseg, 4*nbins] device partials, one per slab (async)
+    for lo in range(0, max(n, 1), _SLAB):
+        hi = min(lo + _SLAB, n)
+        m = _next_bucket(max(hi - lo, 1))  # power-of-2 bucket (<= _SLAB)
+        c = hi - lo
+        # pooled, pre-faulted buffers: two packed transfers per slab
+        # (f32 + int32), with the f64-exact precompute (emp flag, emp bin
+        # index) fused into the pack via out= ops — fresh page allocation
+        # costs ~12 ms/MB on lazily-faulted VM memory, so the hot path
+        # allocates nothing after warm-up
+        f, ints, s64, b8 = _pack_buffers(m)
+        np.copyto(f[0, :c], ab64[lo:hi], casting="unsafe")
+        np.copyto(f[1, :c], ae64[lo:hi], casting="unsafe")
+        np.copyto(f[2, :c], sites.w_shared[lo:hi], casting="unsafe")
+        np.copyto(f[3, :c], sites.w_notshared[lo:hi], casting="unsafe")
+        # emp flag from the f64 inputs (age_begin <= age)
+        np.less_equal(ab64[lo:hi], age, out=b8[:c])
+        np.copyto(ints[0, :c], b8[:c], casting="unsafe")
+        # bin(age_end) with the reference's f64 log-edge rounding
+        # (config.bin_of_age): floor(log(10*ae)*10+0.5)+1, ae==0 -> 0
+        sl = s64[:c]
+        np.multiply(ae64[lo:hi], 10.0, out=sl)
+        np.maximum(sl, 1e-300, out=sl)
+        np.log(sl, out=sl)
+        np.multiply(sl, 10.0, out=sl)
+        np.add(sl, 0.5, out=sl)
+        np.floor(sl, out=sl)
+        np.add(sl, 1.0, out=sl)
+        np.clip(sl, 0, nbins - 1, out=sl)  # -inf (ae==0) clips to 0
+        np.copyto(ints[1, :c], sl, casting="unsafe")
+        np.copyto(ints[2, :c], sites.block_id[lo:hi], casting="unsafe")
+        if m > c:
+            # padding sites carry zero weight and the top block id: they
+            # leave every histogram untouched and keep ids nondecreasing
+            f[0, c:] = 1.0
+            f[1, c:] = 2.0
+            f[2:, c:] = 0.0
+            ints[:2, c:] = 0
+            ints[2, c:] = nseg - 1
+        pending.append(_bin_analytic_jit(f, ints, nseg, np.float32(age)))
+        if len(pending) > 2:
+            h = np.asarray(pending.pop(0), np.float64)
+            for i in range(4):
+                acc[i] += h[:, i * nbins : (i + 1) * nbins]
+    for out in pending:
+        h = np.asarray(out, np.float64)
+        for i in range(4):
+            acc[i] += h[:, i * nbins : (i + 1) * nbins]
+    return tuple(a[:nb] for a in acc)
 
 
 def _overlap_probs(a, b, edges):
@@ -139,98 +212,105 @@ def _overlap_probs(a, b, edges):
     return ov / width
 
 
+def _chunk_hist(ab, ae, w_shared, w_notshared, emp8, bin2, block_id, num_seg, age32):
+    """One chunk's stacked [num_seg, 4*nbins] f32 histogram.
+
+    All inputs arrive f32/int32 (the host precomputes the f64-exact emp
+    flag and emp bin index — see bin_sites_analytic); the wide [n, nbins]
+    overlap expectation runs in f32 (TPU-native; f64 is software-emulated).
+    Works with or without jax_enable_x64."""
+    import jax
+    import jax.numpy as jnp
+
+    nbins = NUM_AGE_BINS
+    f32 = jnp.float32
+    edges32 = jnp.asarray(age_bin_edges(), f32)
+    is_emp = emp8 > 0
+
+    # --- regular sites: conditional on bin <= nbins-1 (resampling) ---
+    # clamping draws below `age` up to `age` is only in the emp branch;
+    # in the regular branch draws below `age` are rejected (skip=true)
+    # and redrawn, so the distribution is U[max(age_begin,age), age_end]
+    # conditional on landing in-table.  (For tmp inputs age==0: no-op.)
+    a_reg = jnp.maximum(ab, age32)
+    p = _overlap_probs(a_reg, ae, edges32)  # [n, nbins] f32
+    norm = jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.where(norm > 0, p / jnp.maximum(norm, f32(1e-30)), f32(0.0))
+    w_s = jnp.where(is_emp, f32(0.0), w_shared)
+    w_n_reg = jnp.where(is_emp, f32(0.0), w_notshared)
+
+    # --- emp sites: T = max(U[age_begin, age_end], age), no resampling.
+    # Distribute via the clamped CDF: F_T(e) = cdf_U(e) if e > age else 0,
+    # so mass below `age` collapses into the bin containing `age`.
+    # (age==0 is the common case: plain uniform over [0, age_end].) ---
+    width = jnp.maximum(ae - ab, f32(1e-30))
+    cdf_u = jnp.clip((edges32[None, :] - ab[:, None]) / width[:, None], 0.0, 1.0)
+    f_t = jnp.where(edges32[None, :] > age32, cdf_u, f32(0.0))
+    p_emp = f_t[:, 1:] - f_t[:, :-1]
+    # out-of-table mass (beyond the last edge) is clipped into the last
+    # bin — the reference would write out of bounds there (see
+    # config.bin_of_age); unreachable with realistic ages.
+    p_emp = p_emp.at[:, -1].add(1.0 - f_t[:, -1])
+    w_n_emp = jnp.where(is_emp, w_notshared, f32(0.0))
+
+    # --- emp matrices: keyed by the host-computed f64-exact bin(age_end)
+    oh_bin2 = (
+        bin2[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
+    ).astype(f32)
+    w_se = jnp.where(is_emp, w_shared, f32(0.0))
+    w_ne = jnp.where(is_emp, w_notshared, f32(0.0))
+
+    # --- block reduction: one one-hot matmul for all four
+    # [num_seg, nbins] outputs.  A segment-sum lowers to scatters, which
+    # crawl on TPU (measured 40x slower); the contraction over sites runs
+    # on the MXU instead, and num_seg is bucketed small (128 covers a
+    # whole human genome of 30 Mb blocks) ---
+    M = jnp.concatenate(
+        [
+            p * w_s[:, None],
+            p * w_n_reg[:, None] + p_emp * w_n_emp[:, None],
+            oh_bin2 * w_se[:, None],
+            oh_bin2 * w_ne[:, None],
+        ],
+        axis=1,
+    )  # [n, 4*nbins]
+    oh_blk = (
+        block_id[:, None] == jnp.arange(num_seg, dtype=block_id.dtype)[None, :]
+    ).astype(f32)
+    return jnp.einsum("nk,nc->kc", oh_blk, M, precision=jax.lax.Precision.HIGHEST)
+
+
 def _make_bin_analytic():
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(5,), static_argnames=())
-    def fn(age_begin, age_end, w_shared, w_notshared, block_id, num_blocks, age):
-        # The wide [n, nbins] overlap work runs in f32 (TPU-native; f64 is
-        # software-emulated) and the per-chunk [blocks, nbins] reductions
-        # are widened to f64 for cross-chunk accumulation.  Analytic mode
-        # is an expectation of the reference's 100-draw MC — per-site f32
-        # rounding (~1e-7 relative) is far inside that approximation; the
-        # bit-exact path is bin_sites_mc_parity.
-        edges = jnp.asarray(age_bin_edges())
-        nbins = NUM_AGE_BINS
-        is_emp = age_begin <= age
-        f32 = jnp.float32
-        ab32 = age_begin.astype(f32)
-        ae32 = age_end.astype(f32)
-        edges32 = edges.astype(f32)
-        age32 = jnp.asarray(age, f32)
+    @partial(jax.jit, static_argnums=(2,))
+    def fn(f, ints, num_seg, age):
+        # f [4, m] f32 (age_begin, age_end, w_shared, w_notshared);
+        # ints [3, m] int32 (emp flag, emp bin2, block id); m is a
+        # power-of-2 bucket.  The chunk loop runs ON DEVICE so a slab
+        # costs two host->device transfers total; the per-chunk partials
+        # accumulate into one stacked [num_seg, 4*nbins] f32 output the
+        # caller reads back once per slab (each tunnel transfer/readback
+        # costs ~30-70 ms regardless of size).
+        m = f.shape[1]
+        age32 = age.astype(jnp.float32) if hasattr(age, "astype") else jnp.asarray(age, jnp.float32)
+        if m <= _CHUNK:
+            return _chunk_hist(
+                f[0], f[1], f[2], f[3], ints[0], ints[1], ints[2], num_seg, age32
+            )
+        n_chunks = m // _CHUNK  # m is a power-of-2 multiple of _CHUNK
 
-        # --- regular sites: conditional on bin <= nbins-1 (resampling) ---
-        # clamp draws below `age` to `age` is only in the emp branch; in the
-        # regular branch draws below `age` are rejected (skip=true) and
-        # redrawn, so the distribution is U[max(age_begin,age), age_end]
-        # conditional on landing in-table.  (For tmp inputs age==0: no-op.)
-        a_reg = jnp.maximum(ab32, age32)
-        p = _overlap_probs(a_reg, ae32, edges32)  # [n, nbins] f32
-        norm = jnp.sum(p, axis=1, keepdims=True)
-        p = jnp.where(norm > 0, p / jnp.maximum(norm, f32(1e-30)), f32(0.0))
-        w_s = jnp.where(is_emp, 0.0, w_shared).astype(f32)
-        w_n_reg = jnp.where(is_emp, 0.0, w_notshared).astype(f32)
+        def body(i, acc):
+            fs = jax.lax.dynamic_slice_in_dim(f, i * _CHUNK, _CHUNK, axis=1)
+            es = jax.lax.dynamic_slice_in_dim(ints, i * _CHUNK, _CHUNK, axis=1)
+            return acc + _chunk_hist(
+                fs[0], fs[1], fs[2], fs[3], es[0], es[1], es[2], num_seg, age32
+            )
 
-        # --- emp sites: T = max(U[age_begin, age_end], age), no resampling.
-        # Distribute via the clamped CDF: F_T(e) = cdf_U(e) if e > age else 0,
-        # so mass below `age` collapses into the bin containing `age`.
-        # (age==0 is the common case: plain uniform over [0, age_end].) ---
-        width = jnp.maximum(ae32 - ab32, f32(1e-30))
-        cdf_u = jnp.clip(
-            (edges32[None, :] - ab32[:, None]) / width[:, None], 0.0, 1.0
-        )
-        f_t = jnp.where(edges32[None, :] > age32, cdf_u, f32(0.0))
-        p_emp = f_t[:, 1:] - f_t[:, :-1]
-        # out-of-table mass (beyond the last edge) is clipped into the last
-        # bin — the reference would write out of bounds there (see
-        # config.bin_of_age); unreachable with realistic ages.
-        p_emp = p_emp.at[:, -1].add(1.0 - f_t[:, -1])
-        w_n_emp = jnp.where(is_emp, w_notshared, 0.0).astype(f32)
-
-        # --- emp matrices: keyed by bin(age_end), full site weight; the
-        # bin index stays f64 (log-edge rounding must match the reference) ---
-        bin2 = jnp.clip(
-            jnp.where(
-                age_end > 0,
-                jnp.floor(jnp.log(10.0 * jnp.maximum(age_end, 1e-300)) * 10.0 + 0.5)
-                .astype(jnp.int32)
-                + 1,
-                0,
-            ),
-            0,
-            nbins - 1,
-        )
-        oh_bin2 = (
-            bin2[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
-        ).astype(f32)
-        w_se = jnp.where(is_emp, w_shared, 0.0).astype(f32)
-        w_ne = jnp.where(is_emp, w_notshared, 0.0).astype(f32)
-
-        # --- one block-one-hot matmul for all four [blocks, nbins]
-        # reductions: the contraction over sites runs on the MXU instead
-        # of a scatter (block ids are few: MAX_BLOCKS=512) ---
-        oh_blk = (
-            block_id[:, None] == jnp.arange(num_blocks, dtype=block_id.dtype)[None, :]
-        ).astype(f32)
-        M = jnp.concatenate(
-            [
-                p * w_s[:, None],
-                p * w_n_reg[:, None] + p_emp * w_n_emp[:, None],
-                oh_bin2 * w_se[:, None],
-                oh_bin2 * w_ne[:, None],
-            ],
-            axis=1,
-        )  # [n, 4*nbins]
-        out = jnp.einsum(
-            "nk,nc->kc", oh_blk, M, precision=jax.lax.Precision.HIGHEST
-        ).astype(jnp.float64)
-        shared_hist = out[:, :nbins]
-        notshared_hist = out[:, nbins : 2 * nbins]
-        shared_emp = out[:, 2 * nbins : 3 * nbins]
-        notshared_emp = out[:, 3 * nbins :]
-        return shared_hist, notshared_hist, shared_emp, notshared_emp
+        acc0 = jnp.zeros((num_seg, 4 * NUM_AGE_BINS), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
     return fn
 

@@ -255,3 +255,45 @@ def test_fused_tmptmp_duplicate_chroms_falls_back(tmp_path):
     ref = read_colate_in(fix["reference"])
     files = [f"{fix['mut_prefix']}_chr1.mut"] * 2
     assert fused_tmptmp_hists(["1", "1"], files, tgt, ref, None, None) is None
+
+
+def test_binning_block_axis_past_512(tmp_path):
+    """The device kernel's block axis buckets up to MAX_BLOCKS=65536
+    (the reference silently overruns its fixed 500 blocks,
+    coal.cpp:3141); 600 blocks must agree between the host-native and
+    device paths, and exceeding MAX_BLOCKS must fail loudly."""
+    from colate_tpu.pipeline.binning import (
+        MAX_BLOCKS,
+        bin_sites_analytic,
+        bin_sites_analytic_native,
+    )
+    from colate_tpu.pipeline.join import JoinedSites
+
+    g = np.random.default_rng(11)
+    n = 20000
+    nb = 600
+    ab = g.uniform(0.0, 1e4, n)
+    ab[g.uniform(size=n) < 0.2] = 0.0
+    ae = ab + g.uniform(1.0, 1e5, n)
+    sites = JoinedSites(
+        age_begin=ab,
+        age_end=ae,
+        w_shared=g.uniform(0.0, 2.0, n),
+        w_notshared=g.uniform(0.0, 2.0, n),
+        block_id=np.sort(g.integers(0, nb, n)).astype(np.int32),
+        num_blocks=nb,
+    )
+    host = bin_sites_analytic_native(sites)
+    dev = bin_sites_analytic(sites)
+    assert host is not None
+    for a, b in zip(dev, host):
+        assert a.shape == (nb, 185)
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
+
+    too_many = JoinedSites(
+        age_begin=ab, age_end=ae, w_shared=sites.w_shared,
+        w_notshared=sites.w_notshared, block_id=sites.block_id,
+        num_blocks=MAX_BLOCKS + 1,
+    )
+    with pytest.raises(ValueError, match="MAX_BLOCKS"):
+        bin_sites_analytic(too_many)
