@@ -37,10 +37,80 @@ class VcfTable:
 
 
 def read_vcf(path: str) -> VcfTable:
+    out = _read_bcf_native(path)
+    if out is not None:
+        return out
     data = _read_raw(path)
     if data[:5] == b"BCF\x02\x02" or data[:3] == b"BCF":
         return _parse_bcf(data)
     return _parse_vcf_text(data.decode("utf-8", errors="replace"))
+
+
+def _read_bcf_native(path: str) -> VcfTable | None:
+    """Streaming native BCF decode (native/hts.cpp) — bounded input
+    memory, columnar output.  Returns None for text VCF (the Python
+    parser handles it) or when the native library is unavailable; the
+    pure-Python `_parse_bcf` stays the equivalence oracle."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    errbuf = ctypes.create_string_buffer(256)
+    h = lib.cn_bcf_read(path.encode(), errbuf, len(errbuf))
+    if not h:
+        err = errbuf.value.decode()
+        if err == "not-bcf":
+            return None  # text VCF / gzip VCF: Python parser
+        raise FileNotFoundError(err or f"cannot read {path}")
+    try:
+        n = int(lib.cn_bcf_n(h))
+        n_samples = int(lib.cn_bcf_meta(h, 0))
+        ploidy = int(lib.cn_bcf_meta(h, 1))
+        width = int(lib.cn_bcf_meta(h, 2))
+        col = lambda i, dt: native.col_array(lib, lib.cn_bcf_col, h, i, dt)
+        pos = col(0, np.int64)
+        n_allele = col(1, np.int32)
+        chrom_id = col(2, np.int32)
+        ref_blob = col(3, np.uint8).tobytes()
+        ref_off = col(4, np.uint64)
+        alt_blob = col(5, np.uint8).tobytes()
+        alt_off = col(6, np.uint64)
+        gt = col(7, np.int8).reshape(n, width) if width else np.zeros(
+            (n, 0), np.int8
+        )
+        cname_blob = col(8, np.uint8).tobytes()
+        cname_off = col(9, np.uint64)
+        cname_idx = col(10, np.int64)
+    finally:
+        lib.cn_bcf_free(h)
+    names = {
+        int(cname_idx[i]): cname_blob[cname_off[i] : cname_off[i + 1]].decode()
+        for i in range(cname_idx.shape[0])
+    }
+    chrom = np.array(
+        [names.get(int(c), str(int(c))) for c in chrom_id], object
+    )
+    ref = np.array(
+        [ref_blob[ref_off[i] : ref_off[i + 1]].decode() for i in range(n)],
+        object,
+    )
+    alt = np.array(
+        [alt_blob[alt_off[i] : alt_off[i + 1]].decode() for i in range(n)],
+        object,
+    )
+    return VcfTable(
+        chrom=chrom,
+        pos=pos,
+        ref=ref,
+        alt=alt,
+        n_allele=n_allele,
+        gt=gt,
+        n_samples=n_samples,
+        ploidy=max(ploidy, 1),
+    )
 
 
 def _read_raw(path: str) -> bytes:

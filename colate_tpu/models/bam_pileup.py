@@ -252,6 +252,21 @@ class BamCursor:
         counts = np.where(ok[:, None], self.counts[idx], 0)
         return claimed, counts
 
+    # -- batch per-contig interface (shared with NativeBamPileup) -------
+    def contig_counts(self, contig: str, ref_path: str, anc_path: str | None,
+                      qpos0: np.ndarray):
+        """assign_contig + full drain + counts_at in one call.
+
+        Returns (claimed[n] bool, counts[n,4] int64, coverage,
+        coverage_after_filter, ref_len) for 0-based positions qpos0."""
+        self.assign_contig(contig, ref_path, anc_path or "")
+        self.drain_contig()
+        claimed, counts = self.counts_at(np.asarray(qpos0, np.int64))
+        return (
+            claimed, counts, self.coverage, self.coverage_after_filter,
+            int(self.ref.shape[0]),
+        )
+
     # -- deamination profile (htslib.cpp:440-486) ------------------------
     def read_deam(self, current_pos: int, stats: dict) -> bool:
         """stats holds 15-long int arrays: isC1/isC2/isCT1/isCT2/
@@ -298,3 +313,95 @@ class BamCursor:
                         np.add.at(stats["isCpG" + name], idxs[m & isCpG], 1)
                         np.add.at(stats["isCpGt" + name], idxs[m & isCpG & deam], 1)
         return self.eof
+
+
+class NativeBamPileup:
+    """Streaming native pileup cursor (native/hts.cpp).
+
+    Same per-contig batch interface as :meth:`BamCursor.contig_counts`,
+    but the BAM streams through a bounded-memory BGZF inflate + record
+    parser and the pileup is accumulated only at the query positions —
+    O(queries) state instead of the oracle's whole-contig count arrays,
+    so multi-GB whole-genome BAMs run in bounded RSS (the reference
+    achieves this with htslib's 1e5-slot circular buffer,
+    include/vcf/htslib.hpp:93-95)."""
+
+    def __init__(self, lib, handle, strandfilter: bool):
+        self._lib = lib
+        self._h = handle
+        self._strand = strandfilter
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.cn_bam_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def contig_counts(self, contig: str, ref_path: str, anc_path: str | None,
+                      qpos0: np.ndarray):
+        import ctypes
+
+        from colate_tpu.formats.fasta import read_fasta
+
+        if self._strand and not anc_path:
+            raise ValueError("strandfilter requires an ancestral genome")
+        ref = np.frombuffer(read_fasta(ref_path).encode(), np.uint8)
+        anc = (
+            np.frombuffer(read_fasta(anc_path).encode(), np.uint8)
+            if anc_path
+            else np.zeros(0, np.uint8)
+        )
+        q = np.ascontiguousarray(qpos0, np.int64)
+        order = None
+        if q.shape[0] and np.any(np.diff(q) < 0):
+            order = np.argsort(q, kind="stable")
+            q = np.ascontiguousarray(q[order])
+        claimed = np.zeros(q.shape[0], np.uint8)
+        counts = np.zeros((q.shape[0], 4), np.int32)
+        cov = ctypes.c_double()
+        cova = ctypes.c_double()
+        errbuf = ctypes.create_string_buffer(256)
+        p = lambda a: ctypes.c_void_p(a.ctypes.data)
+        rc = self._lib.cn_bam_contig(
+            self._h, contig.encode(), p(ref), ref.shape[0], p(anc),
+            anc.shape[0], p(q), q.shape[0], p(claimed), p(counts),
+            ctypes.byref(cov), ctypes.byref(cova), errbuf, len(errbuf),
+        )
+        if rc != 0:
+            raise RuntimeError(errbuf.value.decode() or "BAM pileup failed")
+        claimed_b = claimed.astype(bool)
+        counts64 = counts.astype(np.int64)
+        if order is not None:
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.shape[0])
+            claimed_b = claimed_b[inv]
+            counts64 = counts64[inv]
+        return claimed_b, counts64, cov.value, cova.value, int(ref.shape[0])
+
+
+def open_pileup(path: str, params: str = "20,30,10",
+                strandfilter: bool = False):
+    """Streaming native pileup for BAM inputs when the native library is
+    available; the in-memory Python :class:`BamCursor` otherwise (SAM
+    text / gzip SAM, toolchain-less hosts) — which is also the
+    equivalence oracle (tests/test_bam_stream.py)."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is not None:
+        parts = params.split(",")
+        errbuf = ctypes.create_string_buffer(256)
+        h = lib.cn_bam_open(
+            path.encode(), int(parts[0]), int(parts[1]), int(parts[2]),
+            int(strandfilter), errbuf, len(errbuf),
+        )
+        if h:
+            return NativeBamPileup(lib, h, strandfilter)
+    return BamCursor(path, params, strandfilter)

@@ -23,7 +23,7 @@ import numpy as np
 from colate_tpu.formats.colate_in import write_colate_in
 from colate_tpu.formats.fasta import read_mask
 from colate_tpu.formats.mut import MutTable
-from colate_tpu.models.bam_pileup import BamCursor
+from colate_tpu.models.bam_pileup import open_pileup
 
 _VALID_ANC = {"A", "C", "G", "T", "0"}
 _LETTER = {"A": 0, "C": 1, "G": 2, "T": 3}
@@ -40,16 +40,17 @@ def maketmp_bam(
     params: str = "20,30,10",
     strandfilter: bool = False,
 ) -> int:
-    target = BamCursor(bam_file, params, strandfilter)
+    target = open_pileup(bam_file, params, strandfilter)
     o_chrom, o_bp, o_anc, o_der, o_aaf, o_daf = [], [], [], [], [], []
     for ci, chrom in enumerate(chrom_names):
         print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
         mask = read_mask(mask_files[ci]) if mask_files else None
-        if strandfilter:
-            target.assign_contig(chrom, ref_genome_files[ci], anc_genome_files[ci])
-        else:
-            target.assign_contig(chrom, ref_genome_files[ci])
         mt = MutTable.read(mut_files[ci], fast=False)
+
+        # ---- static row filters (coal.cpp:2569-2607) ----
+        cand: list[int] = []
+        ancs: list[str] = []
+        ders: list[str] = []
         for r in range(len(mt)):
             if mt.flipped[r] != 0 or mt.num_branches[r] != 1:
                 continue
@@ -65,27 +66,40 @@ def maketmp_bam(
             if mask is not None:
                 if bp_mut >= mask.shape[0] or mask[bp_mut - 1] != ord("P"):
                     continue
-            bp_target = bp_mut - 1
-            target.read_to_pos(bp_target)
-            counts = target.entry_counts(bp_target)
-            if counts is None:
+            cand.append(r)
+            ancs.append(ancestral)
+            ders.append(derived)
+
+        # ---- one streamed pass over the contig, answering all rows ----
+        bp = mt.pos[np.asarray(cand, np.int64)].astype(np.int64) if cand else (
+            np.zeros(0, np.int64)
+        )
+        claimed, counts, cov_raw, cova_raw, glen = target.contig_counts(
+            chrom,
+            ref_genome_files[ci],
+            anc_genome_files[ci] if strandfilter else None,
+            bp - 1,
+        )
+        num_reads = counts.sum(axis=1)
+        for i in range(bp.shape[0]):
+            if not claimed[i] or num_reads[i] == 0:
                 continue
-            num_reads = int(counts.sum())
-            if num_reads == 0:
-                continue
-            aaf = int(counts[_LETTER[ancestral]]) if ancestral in _LETTER else 0
-            daf = int(counts[_LETTER[derived]]) if derived in _LETTER else 0
+            a, d = ancs[i], ders[i]
+            aaf = int(counts[i, _LETTER[a]]) if a in _LETTER else 0
+            daf = int(counts[i, _LETTER[d]]) if d in _LETTER else 0
             if aaf == 0 and daf == 0:
                 continue
             o_chrom.append(chrom)
-            o_bp.append(bp_mut)
-            o_anc.append(ord(ancestral[0]))
-            o_der.append(ord(derived[0]))
+            o_bp.append(int(bp[i]))
+            o_anc.append(ord(a[0]))
+            o_der.append(ord(d[0]))
             o_aaf.append(aaf)
             o_daf.append(daf)
-        cov = target.coverage / max(target.ref.shape[0], 1)
-        cov_f = target.coverage_after_filter / max(target.ref.shape[0], 1)
-        print(f"Bam coverage: {cov:g} {cov_f:g}", file=sys.stderr)
+        print(
+            f"Bam coverage: {cov_raw / max(glen, 1):g} "
+            f"{cova_raw / max(glen, 1):g}",
+            file=sys.stderr,
+        )
     write_colate_in(
         out_path,
         np.array(o_chrom, dtype=object),

@@ -22,7 +22,7 @@ _lib = None
 _tried = False
 
 
-_SOURCES = ("io.cpp", "em.cpp")
+_SOURCES = ("io.cpp", "em.cpp", "hts.cpp")
 
 
 def _build() -> bool:
@@ -139,6 +139,31 @@ def load():
         + [ctypes.c_double, ctypes.c_double] # conv_ratio, rate_floor
         + [P, P, P]                          # out rates, logl, iters
     )
+    lib.cn_bam_open.restype = ctypes.c_void_p
+    lib.cn_bam_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.cn_bam_contig.restype = ctypes.c_int
+    lib.cn_bam_contig.argtypes = (
+        [ctypes.c_void_p, ctypes.c_char_p]
+        + [P, ctypes.c_int64, P, ctypes.c_int64]  # ref, anc genomes
+        + [P, ctypes.c_int64]                     # queries
+        + [P, P, P, P]                            # claimed, counts, cov x2
+        + [ctypes.c_char_p, ctypes.c_int]
+    )
+    lib.cn_bam_close.argtypes = [ctypes.c_void_p]
+    lib.cn_bcf_read.restype = ctypes.c_void_p
+    lib.cn_bcf_read.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.cn_bcf_n.restype = ctypes.c_int64
+    lib.cn_bcf_n.argtypes = [ctypes.c_void_p]
+    lib.cn_bcf_meta.restype = ctypes.c_int64
+    lib.cn_bcf_meta.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cn_bcf_col.restype = ctypes.c_void_p
+    lib.cn_bcf_col.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_bcf_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 

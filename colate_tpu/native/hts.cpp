@@ -238,11 +238,7 @@ struct BamPileup {
   int32_t* out_counts = nullptr;  // [nq, 4]
   int64_t q_lo = 0;               // first query that can still be touched
 
-  bool match(const char* c) const {
-    if (!have_rec && !fetched_any) return false;
-    if (contig == c) return true;
-    return std::strncmp(c, "chr", 3) == 0 && contig == c + 3;
-  }
+  // the reference accepts the bare name or "chr"+name (htslib.cpp:394)
   bool cur_match() const {
     if (!fetched_any) return false;
     const char* c = bam.contig();

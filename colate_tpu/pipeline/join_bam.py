@@ -32,9 +32,12 @@ Shared semantics (exact):
   w_notshared = AAF_target*DAF_ref/N_ref (NOT N-DAF: coal.cpp:1723);
 - 30 Mb blocks per used site + one boundary per chromosome end.
 
-The BAM stream is consumed through :class:`BamCursor.drain_contig`,
-which is provably count-equivalent to the reference's horizon-limited
-``read_to_pos`` walk for the monotone queries this mode issues.
+The BAM streams through :func:`open_pileup` — the native streaming
+cursor (bounded memory, native/hts.cpp) when available, else the
+in-memory Python :class:`BamCursor` — both answering per-contig batch
+queries that are provably count-equivalent to the reference's
+horizon-limited ``read_to_pos`` walk for the monotone queries this mode
+issues.
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ from colate_tpu.config import NUM_BASES_PER_BLOCK
 from colate_tpu.formats.fasta import read_fasta, read_mask
 from colate_tpu.formats.mut import MutTable
 from colate_tpu.formats.vcf import read_vcf
-from colate_tpu.models.bam_pileup import BamCursor
+from colate_tpu.models.bam_pileup import open_pileup
 from colate_tpu.pipeline.join import JoinedSites, _mask_pass, allele_codes
 from colate_tpu.pipeline.join_vcf import _cursor_index, _vcf_columns
 
@@ -73,10 +76,10 @@ def _filtered_rows(mt: MutTable, age: float, tmask, rmask):
     return rows, mt.pos[rows].astype(np.int64), anc_c[rows], der_c[rows]
 
 
-def _pileup_evidence(cursor: BamCursor, pos: np.ndarray, anc: np.ndarray,
-                     der: np.ndarray):
-    """(accept, aaf, daf) at 1-based positions `pos` (coal.cpp:1665-1705)."""
-    claimed, counts = cursor.counts_at(pos - 1)
+def _pileup_evidence(claimed: np.ndarray, counts: np.ndarray,
+                     anc: np.ndarray, der: np.ndarray):
+    """(accept, aaf, daf) from pileup (claimed, counts[n,4]) evidence
+    (coal.cpp:1665-1705)."""
     num_reads = counts.sum(axis=1)
     num_alleles = (counts > 0).sum(axis=1)
     # base-column gather; '0'/'1' alleles never match a base -> count 0
@@ -85,8 +88,9 @@ def _pileup_evidence(cursor: BamCursor, pos: np.ndarray, anc: np.ndarray,
     for b, c in _BASE_COL.items():
         col[b] = c
         ok[b] = True
-    aaf = np.where(ok[anc], counts[np.arange(pos.shape[0]), col[anc]], 0)
-    daf = np.where(ok[der], counts[np.arange(pos.shape[0]), col[der]], 0)
+    n = claimed.shape[0]
+    aaf = np.where(ok[anc], counts[np.arange(n), col[anc]], 0)
+    daf = np.where(ok[der], counts[np.arange(n), col[der]], 0)
     accept = claimed & (num_reads > 0) & ((aaf > 0) | (daf > 0)) & (num_alleles <= 2)
     return accept, aaf.astype(np.int64), daf.astype(np.int64)
 
@@ -142,7 +146,7 @@ def join_onebamvcf(
 ) -> JoinedSites:
     age = 0.0  # forced (coal.cpp:1515-1516)
     ref_age = 0.0
-    cursor = BamCursor(bam_file, params)
+    cursor = open_pileup(bam_file, params)
     out = {k: [] for k in ("ab", "ae", "ws", "wn", "blk")}
     block_offset = 0
     # N_ref is uninitialised (0 under the oracle build) until the first
@@ -152,8 +156,6 @@ def join_onebamvcf(
 
     for ci, chrom in enumerate(chrom_names):
         print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
-        cursor.assign_contig(chrom, ref_genome_files[ci])
-        cursor.drain_contig()
         mt = MutTable.read(mut_files[ci])
         ref = read_vcf(ref_bcf_files[ci])
         tmask = read_mask(tmask_files[ci]) if tmask_files else None
@@ -194,9 +196,13 @@ def join_onebamvcf(
         r_use &= daf_ref != 0
         rsel = np.nonzero(r_use)[0]
 
-        # ---- target pileup (coal.cpp:1661-1705) ----
+        # ---- target pileup (coal.cpp:1661-1705): stream the contig once,
+        # answering the surviving rows' positions ----
+        claimed, counts, cov_raw, cova_raw, glen = cursor.contig_counts(
+            chrom, ref_genome_files[ci], None, pos[rsel] - 1
+        )
         t_ok, aaf_t, daf_t = _pileup_evidence(
-            cursor, pos[rsel], anc[rsel], der[rsel]
+            claimed, counts, anc[rsel], der[rsel]
         )
         tsel = rsel[t_ok]
 
@@ -205,9 +211,10 @@ def join_onebamvcf(
         wn = aaf_t[t_ok].astype(np.float64) * dr / float(n_ref)
         last_blk = _emit(out, mt, rows[tsel], ws, wn, ref_age, block_offset)
         block_offset += last_blk + 1
-        cov = cursor.coverage / max(genome.shape[0], 1)
-        cov_f = cursor.coverage_after_filter / max(genome.shape[0], 1)
-        print(f"Coverage: {cov} {cov_f}", file=sys.stderr)
+        print(
+            f"Coverage: {cov_raw / max(glen, 1)} {cova_raw / max(glen, 1)}",
+            file=sys.stderr,
+        )
 
     return _finish(out, block_offset)
 
@@ -226,17 +233,13 @@ def join_onebambam(
 ) -> JoinedSites:
     age = 0.0  # forced (coal.cpp:1800-1801)
     ref_age = 0.0
-    target = BamCursor(target_bam, params)
-    reference = BamCursor(reference_bam, params)
+    target = open_pileup(target_bam, params)
+    reference = open_pileup(reference_bam, params)
     out = {k: [] for k in ("ab", "ae", "ws", "wn", "blk")}
     block_offset = 0
 
     for ci, chrom in enumerate(chrom_names):
         print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
-        target.assign_contig(chrom, ref_genome_files[ci])
-        target.drain_contig()
-        reference.assign_contig(chrom, ref_genome_files[ci])
-        reference.drain_contig()
         mt = MutTable.read(mut_files[ci])
         tmask = read_mask(tmask_files[ci]) if tmask_files else None
         rmask = read_mask(rmask_files[ci]) if rmask_files else None
@@ -244,13 +247,21 @@ def join_onebambam(
         rows, pos, anc, der = _filtered_rows(mt, age, tmask, rmask)
 
         # ---- reference pileup (coal.cpp:1886-1934) ----
-        r_ok, aaf_r, daf_r = _pileup_evidence(reference, pos, anc, der)
+        r_claim, r_counts, r_cov, r_cova, glen = reference.contig_counts(
+            chrom, ref_genome_files[ci], None, pos - 1
+        )
+        r_ok, aaf_r, daf_r = _pileup_evidence(r_claim, r_counts, anc, der)
         r_ok &= daf_r != 0
         n_ref = (aaf_r + daf_r).astype(np.float64)
         rsel = np.nonzero(r_ok)[0]
 
         # ---- target pileup (coal.cpp:1938-1988) ----
-        t_ok, aaf_t, daf_t = _pileup_evidence(target, pos[rsel], anc[rsel], der[rsel])
+        t_claim, t_counts, t_cov, t_cova, glen = target.contig_counts(
+            chrom, ref_genome_files[ci], None, pos[rsel] - 1
+        )
+        t_ok, aaf_t, daf_t = _pileup_evidence(
+            t_claim, t_counts, anc[rsel], der[rsel]
+        )
         tsel = rsel[t_ok]
 
         dr = daf_r[tsel].astype(np.float64)
@@ -259,15 +270,13 @@ def join_onebambam(
         wn = aaf_t[t_ok].astype(np.float64) * dr / nr
         last_blk = _emit(out, mt, rows[tsel], ws, wn, ref_age, block_offset)
         block_offset += last_blk + 1
-        glen = max(target.ref.shape[0], 1)
+        glen = max(glen, 1)
         print(
-            f"Target coverage: {target.coverage / glen} "
-            f"{target.coverage_after_filter / glen}",
+            f"Target coverage: {t_cov / glen} {t_cova / glen}",
             file=sys.stderr,
         )
         print(
-            f"Reference coverage: {reference.coverage / glen} "
-            f"{reference.coverage_after_filter / glen}",
+            f"Reference coverage: {r_cov / glen} {r_cova / glen}",
             file=sys.stderr,
         )
 

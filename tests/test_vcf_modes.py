@@ -290,3 +290,65 @@ def test_make_tmp_vcf_then_mut_golden(oracle, vcf_fixture, tmp_path):
     ref = CoalFile.read(str(tmp_path / "ref_out.coal"))
     ours = CoalFile.read(str(tmp_path / "our_out.coal"))
     np.testing.assert_allclose(ours.rates, ref.rates, rtol=1e-5, atol=1e-12)
+
+
+def test_bcf2_decoders_equivalent(vcf_fixture, tmp_path):
+    """Binary BCF2: streaming native decoder == pure-Python _parse_bcf ==
+    the text-VCF parse of the same records."""
+    from helpers.synth_bcf import vcf_text_to_bcf2
+
+    from colate_tpu.formats.vcf import _parse_bcf, _read_bcf_native, _read_raw
+
+    fix = vcf_fixture
+    src = fix["vcf_prefix"] + "_chr1.bcf"  # text VCF
+    bcf = str(tmp_path / "bin_chr1.bcf")
+    vcf_text_to_bcf2(src, bcf)
+    truth = read_vcf(src)
+    py = _parse_bcf(_read_raw(bcf))
+    nat = _read_bcf_native(bcf)
+    for table in ([py, nat] if nat is not None else [py]):
+        np.testing.assert_array_equal(truth.pos, table.pos)
+        np.testing.assert_array_equal(truth.n_allele, table.n_allele)
+        np.testing.assert_array_equal(truth.gt, table.gt)
+        assert list(truth.chrom) == list(table.chrom)
+        assert list(truth.ref) == list(table.ref)
+        assert list(truth.alt) == list(table.alt)
+        assert (truth.n_samples, truth.ploidy) == (table.n_samples, table.ploidy)
+
+
+@pytest.mark.oracle
+def test_make_tmp_bcf2_golden(oracle, vcf_fixture, tmp_path):
+    """make_tmp from real binary BCF2: htslib inside the oracle and our
+    streaming native decoder must produce byte-identical .colate.in."""
+    from helpers.synth_bcf import vcf_text_to_bcf2
+
+    fix = vcf_fixture
+    for c in fix["chroms"]:
+        vcf_text_to_bcf2(
+            f"{fix['vcf_prefix']}_chr{c}.bcf", str(tmp_path / f"b_chr{c}.bcf")
+        )
+    subprocess.run(
+        [
+            oracle, "--mode", "make_tmp",
+            "--mut", fix["mut_prefix"],
+            "--target_bcf", str(tmp_path / "b"),
+            "--ref_genome", fix["rg_prefix"],
+            "--chr", fix["chrfile"],
+            "-o", str(tmp_path / "ref_made"),
+        ],
+        check=True, capture_output=True, timeout=300,
+    )
+    n = maketmp_vcf(
+        fix["chroms"],
+        [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]],
+        [str(tmp_path / f"b_chr{c}.bcf") for c in fix["chroms"]],
+        None,
+        [f"{fix['rg_prefix']}_chr{c}.fa" for c in fix["chroms"]],
+        str(tmp_path / "our_made.colate.in"),
+    )
+    assert n > 300
+    assert filecmp.cmp(
+        str(tmp_path / "ref_made.colate.in"),
+        str(tmp_path / "our_made.colate.in"),
+        shallow=False,
+    ), "make_tmp bcf2 .colate.in differs"
