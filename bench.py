@@ -389,6 +389,19 @@ def main() -> None:
         bench_binning(details)
     except Exception as e:
         log(f"binning bench failed: {e}")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_bam_stream.py"),
+             "2000000"],
+            capture_output=True, timeout=1200, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            details["bam_stream"] = json.loads(r.stdout.strip().splitlines()[-1])
+            log(f"bam stream: {details['bam_stream']}")
+        else:
+            log(f"bam stream bench failed: {r.stderr[-300:]}")
+    except Exception as e:
+        log(f"bam stream bench failed: {e}")
     details["notes"] = (
         "EM dispatch: host native for one-shot B<=config.EM_HOST_MAX_B "
         "(measured crossover ~800 incl. jit compile through the axon "

@@ -212,19 +212,51 @@ def write_colate_in(
     aaf: np.ndarray,
     daf: np.ndarray,
 ) -> None:
-    """Write records byte-compatibly with the reference (coal.cpp:2503-2515)."""
-    out = bytearray()
-    for i in range(len(bp)):
-        name = chrom[i] if isinstance(chrom[i], str) else str(chrom[i])
-        nb = name.encode("ascii")
-        out += np.int32(len(nb)).tobytes()
-        out += nb
-        out += np.int32(bp[i]).tobytes()
-        a = anc[i]
-        d = der[i]
-        out += bytes([a if isinstance(a, (int, np.integer)) else ord(a)])
-        out += bytes([d if isinstance(d, (int, np.integer)) else ord(d)])
-        out += np.int32(aaf[i]).tobytes()
-        out += np.int32(daf[i]).tobytes()
+    """Write records byte-compatibly with the reference (coal.cpp:2503-2515).
+
+    Vectorised over runs of equal chromosome-name length: each run's
+    records are fixed-width, so one [n_run, width] uint8 fill replaces
+    the per-record byte assembly."""
+    n = len(bp)
+    names = np.array(
+        [c if isinstance(c, str) else str(c) for c in chrom], object
+    )
+    name_len = np.array([len(s) for s in names], np.int64)
+    bp32 = np.asarray(bp, np.int32)
+    aaf32 = np.asarray(aaf, np.int32)
+    daf32 = np.asarray(daf, np.int32)
+
+    def code(x):
+        a = np.asarray(x)
+        if a.dtype.kind in ("U", "O"):
+            return np.array([ord(v) for v in a], np.uint8)
+        return a.astype(np.uint8)
+
+    anc8 = code(anc)
+    der8 = code(der)
+
     with open(path, "wb") as fh:
-        fh.write(bytes(out))
+        i = 0
+        while i < n:
+            ln = name_len[i]
+            j = i
+            while j < n and name_len[j] == ln:
+                j += 1
+            m = j - i
+            width = 4 + int(ln) + 4 + 2 + 8
+            rec = np.zeros((m, width), np.uint8)
+            rec[:, 0:4] = np.frombuffer(
+                np.full(m, ln, np.int32).tobytes(), np.uint8
+            ).reshape(m, 4)
+            nb = np.frombuffer(
+                "".join(names[i:j]).encode("ascii"), np.uint8
+            ).reshape(m, int(ln))
+            rec[:, 4 : 4 + ln] = nb
+            o = 4 + int(ln)
+            rec[:, o : o + 4] = bp32[i:j].view(np.uint8).reshape(m, 4)
+            rec[:, o + 4] = anc8[i:j]
+            rec[:, o + 5] = der8[i:j]
+            rec[:, o + 6 : o + 10] = aaf32[i:j].view(np.uint8).reshape(m, 4)
+            rec[:, o + 10 : o + 14] = daf32[i:j].view(np.uint8).reshape(m, 4)
+            fh.write(rec.tobytes())
+            i = j

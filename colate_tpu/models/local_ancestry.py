@@ -149,11 +149,12 @@ class CoalLA:
         seg_bp = np.array([s[0] for s in segments], np.int64)
         block0 = self.num_blocks
 
-        if anc.sample_ages is not None and np.any(np.asarray(anc.sample_ages) > 0):
-            raise NotImplementedError(
-                "local_ancestry with ancient sample ages: per-pair age "
-                "truncation not yet implemented"
-            )
+        sample_ages = (
+            np.zeros(N)
+            if anc.sample_ages is None
+            else np.asarray(anc.sample_ages, np.float64)
+        )
+        ancient = bool(np.any(sample_ages > 0))
 
         # assign each tree its (possibly several) (segment, span fraction)
         per_seg: dict[int, list[tuple[int, float]]] = {}
@@ -235,13 +236,80 @@ class CoalLA:
                 (s_idx.ravel(), ep_idx.ravel()),
                 cnt.reshape(S * K, self.G, self.G),
             )
-            den_te = np.einsum("sigh,sie->sghe", cnt, ov)
+            if not ancient:
+                den_te = np.einsum("sigh,sie->sghe", cnt, ov)
+            else:
+                den_te = self._den_ancient(
+                    anc, group, sample_ages, trees, internal, ch, ov
+                )
             w_num = num_te * ws[:, None, None, None]
             w_den = den_te * ws[:, None, None, None]
             np.add.at(self.num, blks, w_num)
             np.add.at(self.denom, blks, w_den)
 
         self.num_blocks = block0 + T // BLOCK_SIZE_TREES + 1
+
+    def _den_ancient(self, anc, group, sample_ages, trees, internal, ch, ov):
+        """Denominator with the per-pair sample-age truncation
+        (coal_tree.cpp:505-517): a pair with age A = max(sample ages)
+        contributes its epoch exposure only in epochs whose upper
+        boundary exceeds A, and the first such epoch loses
+        (A - epoch_start)·span/1e9.
+
+        Leaves are bucketed into (group, sample_age) labels; per label
+        pair the age class k = max(age1, age2) selects a boolean epoch
+        mask M_k and a one-hot subtraction sub_k, so the whole reduction
+        stays batched over [trees, nodes]."""
+        epochs = self.epochs
+        E = self.E
+        G = self.G
+        # labels: unique (group, age) combinations
+        combo = np.stack([group.astype(np.float64), sample_ages], axis=1)
+        uniq, lab_of_hap = np.unique(combo, axis=0, return_inverse=True)
+        lab_of_hap = np.asarray(lab_of_hap).ravel()
+        L = uniq.shape[0]
+        lab_group = uniq[:, 0].astype(np.int64)
+        lab_age = uniq[:, 1]
+
+        CL = _group_counts(anc, lab_of_hap.astype(np.int64), L)  # [T, M, L]
+        c1 = ch[trees][:, internal, 0]
+        c2 = ch[trees][:, internal, 1]
+        n1 = CL[trees[:, None], c1]  # [S, K, L]
+        n2 = CL[trees[:, None], c2]
+        X = np.einsum("sil,sim->silm", n1, n2)  # child1-label x child2-label
+
+        # per label pair: age class + sorted group key
+        A_pair = np.maximum(lab_age[:, None], lab_age[None, :])  # [L, L]
+        uniq_A, k_of_pair = np.unique(A_pair, return_inverse=True)
+        k_of_pair = k_of_pair.reshape(L, L)
+        nk = uniq_A.shape[0]
+        g1 = np.maximum(lab_group[:, None], lab_group[None, :])
+        g2 = np.minimum(lab_group[:, None], lab_group[None, :])
+        # map [L*L] pairs -> flattened (g1, g2, k) bins
+        flat = (g1 * G + g2) * nk + k_of_pair  # [L, L]
+        Mmap = np.zeros((L * L, G * G * nk))
+        Mmap[np.arange(L * L), flat.ravel()] = 1.0
+        S, K = X.shape[0], X.shape[1]
+        cnt_gk = (X.reshape(S, K, L * L) @ Mmap).reshape(S, K, G, G, nk)
+
+        # epoch mask and one-hot subtraction per age class
+        # (epochs[e+1] > A; the last, open-ended epoch always qualifies —
+        # the reference's loop always breaks before reading past the
+        # epoch vector for realistic grids)
+        Mk = np.zeros((nk, E))
+        subk = np.zeros((nk, E))
+        for k, A in enumerate(uniq_A):
+            m = np.zeros(E, bool)
+            m[:-1] = epochs[1:] > A
+            m[-1] = True
+            Mk[k] = m
+            f = int(np.searchsorted(epochs[1:], A, side="right"))
+            subk[k, f] = A - epochs[f]
+        # masked exposure + one-hot subtraction, reduced over nodes
+        pairs = cnt_gk.reshape(S, K, G * G, nk)
+        den = np.einsum("sipx,sie,xe->spe", pairs, ov, Mk)
+        den -= np.einsum("sipx,xe->spe", pairs, subk)
+        return den.reshape(S, G, G, E)
 
     def dump(self, path: str, unique_groups: list[str], num_bootstrap: int) -> None:
         rng = MT19937(1)  # seed hardcoded in the reference (coal_tree.cpp:532)

@@ -45,30 +45,37 @@ def maketmp_bam(
     for ci, chrom in enumerate(chrom_names):
         print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
         mask = read_mask(mask_files[ci]) if mask_files else None
-        mt = MutTable.read(mut_files[ci], fast=False)
+        mt = MutTable.read(mut_files[ci])  # native fast parse keeps mtype
 
-        # ---- static row filters (coal.cpp:2569-2607) ----
+        # ---- static row filters (coal.cpp:2569-2607), vectorised where
+        # numeric; the mutation_type string parse only touches survivors
+        base = (mt.flipped == 0) & (mt.num_branches == 1)
+        if mask is not None:
+            bp_all = mt.pos.astype(np.int64)
+            inb = bp_all < mask.shape[0]
+            midx = np.clip(bp_all - 1, 0, max(mask.shape[0] - 1, 0))
+            base &= inb & (mask[midx] == ord("P"))
+        cand0 = np.nonzero(base)[0]
         cand: list[int] = []
-        ancs: list[str] = []
-        ders: list[str] = []
-        for r in range(len(mt)):
-            if mt.flipped[r] != 0 or mt.num_branches[r] != 1:
-                continue
-            mtype = mt.mutation_type[r]
+        anc_col = []  # count column, -1 when the allele matches no base
+        der_col = []
+        anc0 = []  # first character (emitted byte)
+        der0 = []
+        mtypes = mt.mutation_type
+        for r in cand0.tolist():
+            mtype = mtypes[r]
             j = mtype.find("/")
             ancestral = mtype[:j] if j >= 0 else mtype
             derived = mtype[j + 1 :] if j >= 0 else ""
-            bp_mut = int(mt.pos[r])
             if not ancestral or not derived:
                 continue
             if ancestral not in _VALID_ANC:
                 continue
-            if mask is not None:
-                if bp_mut >= mask.shape[0] or mask[bp_mut - 1] != ord("P"):
-                    continue
             cand.append(r)
-            ancs.append(ancestral)
-            ders.append(derived)
+            anc_col.append(_LETTER.get(ancestral, -1))
+            der_col.append(_LETTER.get(derived, -1))
+            anc0.append(ord(ancestral[0]))
+            der0.append(ord(derived[0]))
 
         # ---- one streamed pass over the contig, answering all rows ----
         bp = mt.pos[np.asarray(cand, np.int64)].astype(np.int64) if cand else (
@@ -80,33 +87,37 @@ def maketmp_bam(
             anc_genome_files[ci] if strandfilter else None,
             bp - 1,
         )
-        num_reads = counts.sum(axis=1)
-        for i in range(bp.shape[0]):
-            if not claimed[i] or num_reads[i] == 0:
-                continue
-            a, d = ancs[i], ders[i]
-            aaf = int(counts[i, _LETTER[a]]) if a in _LETTER else 0
-            daf = int(counts[i, _LETTER[d]]) if d in _LETTER else 0
-            if aaf == 0 and daf == 0:
-                continue
-            o_chrom.append(chrom)
-            o_bp.append(int(bp[i]))
-            o_anc.append(ord(a[0]))
-            o_der.append(ord(d[0]))
-            o_aaf.append(aaf)
-            o_daf.append(daf)
+        m = bp.shape[0]
+        if m:
+            ac = np.asarray(anc_col, np.int64)
+            dc = np.asarray(der_col, np.int64)
+            rows_i = np.arange(m)
+            aaf = np.where(ac >= 0, counts[rows_i, np.maximum(ac, 0)], 0)
+            daf = np.where(dc >= 0, counts[rows_i, np.maximum(dc, 0)], 0)
+            sel = claimed & (counts.sum(axis=1) > 0) & ((aaf > 0) | (daf > 0))
+            ks = np.nonzero(sel)[0]
+            o_chrom.append(np.full(ks.shape[0], chrom, object))
+            o_bp.append(bp[ks])
+            o_anc.append(np.asarray(anc0, np.uint8)[ks])
+            o_der.append(np.asarray(der0, np.uint8)[ks])
+            o_aaf.append(aaf[ks])
+            o_daf.append(daf[ks])
         print(
             f"Bam coverage: {cov_raw / max(glen, 1):g} "
             f"{cova_raw / max(glen, 1):g}",
             file=sys.stderr,
         )
+    cat = lambda parts, dt: (
+        np.concatenate(parts).astype(dt) if parts else np.zeros(0, dt)
+    )
+    bp_out = cat(o_bp, np.int64)
     write_colate_in(
         out_path,
-        np.array(o_chrom, dtype=object),
-        np.array(o_bp, dtype=np.int64),
-        np.array(o_anc, dtype=np.uint8),
-        np.array(o_der, dtype=np.uint8),
-        np.array(o_aaf, dtype=np.int64),
-        np.array(o_daf, dtype=np.int64),
+        cat(o_chrom, object),
+        bp_out,
+        cat(o_anc, np.uint8),
+        cat(o_der, np.uint8),
+        cat(o_aaf, np.int64),
+        cat(o_daf, np.int64),
     )
-    return len(o_bp)
+    return int(bp_out.shape[0])

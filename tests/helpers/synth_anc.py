@@ -45,6 +45,7 @@ def make_anc_mut(
     snps_per_tree: int = 20,
     seed: int = 0,
     skip_trees: tuple = (),
+    sample_ages=None,
 ):
     """Write <prefix>_chr<chrom>.anc/.mut; some trees can have no SNPs."""
     g = np.random.default_rng(seed)
@@ -68,7 +69,9 @@ def make_anc_mut(
                 snp += 1
     anc = AncFile(
         n_hap=N,
-        sample_ages=None,
+        sample_ages=(
+            None if sample_ages is None else np.asarray(sample_ages, np.float64)
+        ),
         start_pos=start,
         parent=parent,
         branch_length=blen,

@@ -109,3 +109,36 @@ def test_local_ancestry_segments_golden(la_fixture, tmp_path):
     _run_ref(la_fixture, la_fixture["seg"], str(tmp_path / "refs"))
     _run_ours(la_fixture, la_fixture["seg"], str(tmp_path / "ours"))
     _compare(str(tmp_path / "refs.coal"), str(tmp_path / "ours.coal"))
+
+
+@pytest.mark.oracle
+def test_local_ancestry_ancient_samples_golden(tmp_path):
+    """Nonzero sample ages in the .anc header: the per-pair age
+    truncation of the denominator (coal_tree.cpp:505-517) must match the
+    reference."""
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    root = str(tmp_path)
+    prefix = os.path.join(root, "trees")
+    g = np.random.default_rng(8)
+    N = 12
+    # two ancient ages + moderns, interleaved across pops
+    ages = np.zeros(N)
+    ages[[1, 2, 6, 7]] = 300.0
+    ages[[3, 8]] = 1500.0
+    for i, c in enumerate(["1"]):
+        make_anc_mut(
+            prefix, c, N=N, num_trees=23, seed=61 + i, sample_ages=ages
+        )
+    chrfile = os.path.join(root, "chr.txt")
+    with open(chrfile, "w") as fh:
+        fh.write("1\n")
+    pop4 = os.path.join(root, "pop4.poplabels")
+    with open(pop4, "w") as fh:
+        fh.write("sample population group sex\n")
+        for i in range(6):
+            fh.write(f"S{i} {'POPA' if i < 3 else 'POPB'} G1 NA\n")
+    fix = dict(prefix=prefix, chrfile=chrfile)
+    _run_ref(fix, pop4, str(tmp_path / "refa"))
+    _run_ours(fix, pop4, str(tmp_path / "oura"))
+    _compare(str(tmp_path / "refa.coal"), str(tmp_path / "oura.coal"))
