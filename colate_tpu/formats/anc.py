@@ -38,7 +38,50 @@ class AncFile:
         return int(self.start_pos.shape[0])
 
     @classmethod
-    def read(cls, path: str) -> "AncFile":
+    def read(cls, path: str, fast: bool = True) -> "AncFile":
+        if fast:
+            t = cls._read_native(path)
+            if t is not None:
+                return t
+        return cls._read_python(path)
+
+    @classmethod
+    def _read_native(cls, path: str) -> "AncFile | None":
+        """Columnar .anc decode via the native library (io.cpp:cn_anc_read);
+        None when the library is unavailable (callers fall back to the
+        pure-Python oracle parser below)."""
+        import ctypes
+
+        from colate_tpu import native
+
+        lib = native.load()
+        if lib is None:
+            return None
+        err = ctypes.create_string_buffer(512)
+        h = lib.cn_anc_read(path.encode(), err, 512)
+        if not h:
+            raise ValueError(err.value.decode() or f"native .anc parse failed: {path}")
+        try:
+            col = lambda c, dt: native.col_array(lib, lib.cn_anc_col, h, c, dt)
+            T = int(lib.cn_anc_n(h))
+            n_hap = int(lib.cn_anc_nhap(h))
+            M = 2 * n_hap - 1
+            ages = col(6, np.float64)
+            return cls(
+                n_hap=n_hap,
+                sample_ages=ages if ages.size else None,
+                start_pos=col(0, np.int64),
+                parent=col(1, np.int32).reshape(T, M),
+                branch_length=col(2, np.float64).reshape(T, M),
+                num_events=col(3, np.float32).reshape(T, M),
+                snp_begin=col(4, np.int32).reshape(T, M),
+                snp_end=col(5, np.int32).reshape(T, M),
+            )
+        finally:
+            lib.cn_anc_free(h)
+
+    @classmethod
+    def _read_python(cls, path: str) -> "AncFile":
         if not os.path.exists(path) and os.path.exists(path + ".gz"):
             path = path + ".gz"
         try:
@@ -321,7 +364,11 @@ def node_ages(anc: AncFile) -> np.ndarray:
             p = anc.parent[:, j]
             valid = p >= 0
             vals = coords[:, j].astype(np.float64) + anc.branch_length[:, j]
-            np.maximum.at(acc, (rows[valid], p[valid]), vals[valid])
+            # each tree contributes exactly one (row, parent) entry per
+            # column j, so plain fancy indexing (no duplicate targets)
+            # replaces the much slower np.maximum.at scatter
+            rv, pv = rows[valid], p[valid]
+            acc[rv, pv] = np.maximum(acc[rv, pv], vals[valid])
         return coords
 
     # fallback: per-tree post-order (arbitrary node numbering)

@@ -47,48 +47,30 @@ def tree_spans(anc: AncFile, mut: MutTable) -> np.ndarray:
     first = np.full(T, -1, np.int64)
     last = np.full(T, -1, np.int64)
     uniq, idx_first = np.unique(tree_of_row, return_index=True)
-    for u, i0 in zip(uniq, idx_first):
-        if 0 <= u < T:
-            first[u] = i0
+    m = (uniq >= 0) & (uniq < T)
+    first[uniq[m]] = idx_first[m]
     # last occurrence
     uniq_r, idx_last_rev = np.unique(tree_of_row[::-1], return_index=True)
-    for u, ir in zip(uniq_r, idx_last_rev):
-        if 0 <= u < T:
-            last[u] = n - 1 - ir
+    m = (uniq_r >= 0) & (uniq_r < T)
+    last[uniq_r[m]] = n - 1 - idx_last_rev[m]
     dist = mut.dist.astype(np.float64)
     csum = np.concatenate([[0.0], np.cumsum(dist)])
-    for t in range(T):
-        i0, i1 = first[t], last[t]
-        if i0 < 0:
-            continue
-        s = csum[i1 + 1] - csum[i0]
-        if i0 > 0:
-            s += dist[i0 - 1] / 2.0
-        if i1 < n - 1:
-            s -= dist[i1] / 2.0
-        spans[t] = s
+    has = first >= 0
+    i0 = np.where(has, first, 0)
+    i1 = np.where(has, last, 0)
+    s = csum[i1 + 1] - csum[i0]
+    s += np.where(i0 > 0, dist[np.maximum(i0 - 1, 0)] / 2.0, 0.0)
+    s -= np.where(i1 < n - 1, dist[i1] / 2.0, 0.0)
+    spans[has] = s[has]
     return spans
 
 
-def accumulate_tree_stats(
-    anc: AncFile,
-    mut: MutTable,
-    epochs: np.ndarray,
-    num_blocks_offset: int,
-    num: np.ndarray,
-    denom: np.ndarray,
-) -> int:
-    """Add one chromosome's per-block [E] num/denom; returns #blocks used.
-
-    num/denom: [max_blocks, E] accumulators (modified in place).
-    """
-    N = anc.n_hap
-    T = anc.num_trees
+def _populate_numpy_chunk(coords, spans, epochs, N):
+    """Per-tree [E] num/denom for one chunk of trees — the host oracle
+    for the device kernel (ops/tree_kernel.py), kept in the reference's
+    direct interval-overlap form."""
+    T, M = coords.shape
     E = epochs.shape[0]
-    spans = np.float32(tree_spans(anc, mut)).astype(np.float64)  # driver float
-    coords = node_ages(anc)  # [T, M] f32
-
-    M = coords.shape[1]
     # stable sort by (coord, node_index): argsort of f32 with index tiebreak
     order = np.argsort(coords, axis=1, kind="stable")  # ties keep index order
     sc = np.take_along_axis(coords.astype(np.float64), order, axis=1)  # [T, M]
@@ -120,17 +102,68 @@ def accumulate_tree_stats(
     ep_idx = np.searchsorted(epochs[1:], coal_age.ravel(), side="left").reshape(
         coal_age.shape
     )
-    keep = is_coal & (ep_idx < E - 0)  # index E-1 means above last boundary
-    keep &= ep_idx <= E - 2  # events beyond epochs[-1] dropped by the sweep
+    keep = is_coal & (ep_idx <= E - 2)  # events beyond epochs[-1] dropped
     num_tree = np.zeros((T, E), np.float64)
     t_idx = np.broadcast_to(np.arange(T)[:, None], coal_age.shape)
     np.add.at(num_tree, (t_idx[keep], ep_idx[keep]), 1.0)
+    w = spans / 1e9
+    return num_tree * w[:, None], denom_tree * w[:, None]
+
+
+# device dispatch threshold: below this many node rows the jit/transfer
+# overhead dominates and the vectorised numpy path wins (the kernel's
+# equivalence tests pin both paths to the same result either way)
+_DEVICE_MIN_NODES = 1 << 18
+
+
+def accumulate_tree_stats(
+    anc: AncFile,
+    mut: MutTable,
+    epochs: np.ndarray,
+    num_blocks_offset: int,
+    num: np.ndarray,
+    denom: np.ndarray,
+    backend: str = "auto",
+) -> int:
+    """Add one chromosome's per-block [E] num/denom; returns #blocks used.
+
+    num/denom: [max_blocks, E] accumulators (modified in place).
+    backend: "numpy" (host oracle), "device" (batched JAX kernel), or
+    "auto" (device for large chromosomes).
+    """
+    N = anc.n_hap
+    T = anc.num_trees
+    E = epochs.shape[0]
+    spans = np.float32(tree_spans(anc, mut)).astype(np.float64)  # driver float
+    coords = node_ages(anc)  # [T, M] f32
+    M = coords.shape[1]
+    nb_local = T // BLOCK_SIZE_TREES + 1
+
+    if backend == "auto":
+        backend = "device" if T * M >= _DEVICE_MIN_NODES else "numpy"
+    if backend == "device":
+        try:
+            from colate_tpu.ops.tree_kernel import populate_device
+        except Exception:  # jax unavailable: host fallback
+            backend = "numpy"
+    if backend == "device":
+        blocks_local = (np.arange(T) // BLOCK_SIZE_TREES).astype(np.int32)
+        n_d, d_d = populate_device(coords, spans, blocks_local, epochs, N, nb_local)
+        sl = slice(num_blocks_offset, num_blocks_offset + nb_local)
+        num[sl] += n_d
+        denom[sl] += d_d
+        return nb_local
 
     blocks = num_blocks_offset + np.arange(T) // BLOCK_SIZE_TREES
-    w = spans / 1e9
-    np.add.at(num, blocks, num_tree * w[:, None])
-    np.add.at(denom, blocks, denom_tree * w[:, None])
-    return T // BLOCK_SIZE_TREES + 1
+    # chunk the [t, M, E] overlap tensor to bounded memory
+    chunk = max(1, (1 << 24) // max(M * E, 1))
+    for i in range(0, T, chunk):
+        nt, dt = _populate_numpy_chunk(
+            coords[i : i + chunk], spans[i : i + chunk], epochs, N
+        )
+        np.add.at(num, blocks[i : i + chunk], nt)
+        np.add.at(denom, blocks[i : i + chunk], dt)
+    return nb_local
 
 
 def bootstrap_block_weights_tree(num_bootstrap: int, num_blocks: int) -> np.ndarray:

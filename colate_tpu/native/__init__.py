@@ -164,6 +164,17 @@ def load():
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
     ]
     lib.cn_bcf_free.argtypes = [ctypes.c_void_p]
+    lib.cn_anc_read.restype = ctypes.c_void_p
+    lib.cn_anc_read.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.cn_anc_n.restype = ctypes.c_int64
+    lib.cn_anc_n.argtypes = [ctypes.c_void_p]
+    lib.cn_anc_nhap.restype = ctypes.c_int64
+    lib.cn_anc_nhap.argtypes = [ctypes.c_void_p]
+    lib.cn_anc_col.restype = ctypes.c_void_p
+    lib.cn_anc_col.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.cn_anc_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 

@@ -1171,3 +1171,277 @@ void* cn_fused_hist(void* h, int which, int64_t* nbytes) {
 void cn_fused_free(void* h) { delete (FusedOutC*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// .anc marginal-tree file (header mutations.cpp:342-397; tree-line record
+// grammar "<pos>: p:(branch_length num_events SNP_begin SNP_end) ...",
+// anc.cpp:6-47).  The reference re-parses every line with sscanf per node;
+// here all tree lines are tokenised in parallel straight into flat
+// [T, 2N-1] column buffers (the device populate kernel consumes columns).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AncC {
+  int64_t n_hap = 0, num_trees = 0;
+  std::vector<double> sample_ages;       // [N] or empty
+  std::vector<int64_t> start_pos;        // [T]
+  std::vector<int32_t> parent, sb, se;   // [T*M]
+  std::vector<double> blen;              // [T*M] (%lf like anc.cpp:19)
+  std::vector<float> nev;                // [T*M] (%f)
+};
+
+// Clinger fast path for decimal -> double: mantissa of <=15 digits is
+// exact in double, and 10^frac for frac<=22 is exact, so one division
+// is correctly rounded (bit-identical to strtod).  Exponents/overlong
+// mantissas fall back to strtod (fields are delimiter-terminated).
+const double kP10D[23] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+                          1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+                          1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+inline double fast_strtod(const char* b, const char* e, bool& ok) {
+  const char* q = b;
+  bool neg = false;
+  if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  uint64_t m = 0;
+  int digs = 0, frac = 0;
+  bool seen_dot = false;
+  while (q < e) {
+    char c = *q;
+    if (c >= '0' && c <= '9') {
+      m = m * 10 + (uint64_t)(c - '0');
+      digs++;
+      if (seen_dot) frac++;
+      q++;
+    } else if (c == '.' && !seen_dot) {
+      seen_dot = true;
+      q++;
+    } else {
+      break;
+    }
+  }
+  if (q < e || digs == 0 || digs > 15 || frac > 22) {
+    ok = false;
+    return 0;
+  }
+  ok = true;
+  double v = (double)m / kP10D[frac];
+  return neg ? -v : v;
+}
+
+inline double parse_f64_tok(const char* b, const char* e) {
+  bool ok;
+  double v = fast_strtod(b, e, ok);
+  return ok ? v : strtod(b, nullptr);
+}
+
+inline float parse_f32_tok(const char* b, const char* e) {
+  bool ok;
+  float v = fast_strtof(b, e, ok);
+  return ok ? v : strtof(b, nullptr);
+}
+
+// parse tree lines [t0, t1) of `lines` into t->... at row offsets t*M
+bool parse_anc_range(const std::vector<const char*>& lo,
+                     const std::vector<const char*>& hi, size_t t0, size_t t1,
+                     int64_t M, AncC* t, std::string& err) {
+  for (size_t ti = t0; ti < t1; ti++) {
+    const char* p = lo[ti];
+    const char* e = hi[ti];
+    const char* colon = (const char*)memchr(p, ':', e - p);
+    if (!colon) {
+      err = ".anc tree " + std::to_string(ti) + ": missing start position";
+      return false;
+    }
+    t->start_pos[ti] = parse_i64(p, colon);
+    p = colon + 1;
+    int64_t base = (int64_t)ti * M;
+    for (int64_t j = 0; j < M; j++) {
+      while (p < e && (*p == ' ' || *p == '\t')) p++;
+      const char* c2 = (const char*)memchr(p, ':', e - p);
+      if (!c2 || c2 + 1 >= e || c2[1] != '(') {
+        err = ".anc tree " + std::to_string(ti) + ": short record " +
+              std::to_string(j);
+        return false;
+      }
+      t->parent[base + j] = (int32_t)parse_i64(p, c2);
+      p = c2 + 2;
+      const char* s1 = (const char*)memchr(p, ' ', e - p);
+      if (!s1) goto bad;
+      t->blen[base + j] = parse_f64_tok(p, s1);
+      p = s1 + 1;
+      {
+        const char* s2 = (const char*)memchr(p, ' ', e - p);
+        if (!s2) goto bad;
+        t->nev[base + j] = parse_f32_tok(p, s2);
+        p = s2 + 1;
+        const char* s3 = (const char*)memchr(p, ' ', e - p);
+        if (!s3) goto bad;
+        t->sb[base + j] = (int32_t)parse_i64(p, s3);
+        p = s3 + 1;
+        const char* s4 = (const char*)memchr(p, ')', e - p);
+        if (!s4) goto bad;
+        t->se[base + j] = (int32_t)parse_i64(p, s4);
+        p = s4 + 1;
+      }
+      continue;
+    bad:
+      err = ".anc tree " + std::to_string(ti) + ": truncated record " +
+            std::to_string(j);
+      return false;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cn_anc_read(const char* path, char* errbuf, int errlen) {
+  std::string err;
+  std::vector<char> buf;
+  if (!slurp(path, buf, err)) {
+    snprintf(errbuf, errlen, "%s", err.c_str());
+    return nullptr;
+  }
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  auto next_line = [&](const char*& q) -> std::pair<const char*, const char*> {
+    const char* s = q;
+    const char* e = (const char*)memchr(s, '\n', end - s);
+    if (!e) e = end;
+    q = e < end ? e + 1 : end;
+    return {s, e};
+  };
+  auto [h1b, h1e] = next_line(p);
+  auto [h2b, h2e] = next_line(p);
+  if (h1b == h1e || h2b == h2e) {
+    snprintf(errbuf, errlen, "truncated .anc header: %s", path);
+    return nullptr;
+  }
+  // header 1: NUM_HAPLOTYPES N [sample_ages...]
+  std::vector<std::pair<const char*, const char*>> tok;
+  for (const char* q = h1b; q < h1e;) {
+    while (q < h1e && (*q == ' ' || *q == '\t' || *q == '\r')) q++;
+    const char* s = q;
+    while (q < h1e && *q != ' ' && *q != '\t' && *q != '\r') q++;
+    if (q > s) tok.emplace_back(s, q);
+  }
+  if (tok.size() < 2) {
+    snprintf(errbuf, errlen, "bad .anc header: %s", path);
+    return nullptr;
+  }
+  auto* t = new AncC();
+  t->n_hap = parse_i64(tok[1].first, tok[1].second);
+  if ((size_t)tok.size() >= 2 + (size_t)t->n_hap && t->n_hap > 0) {
+    // ages present iff every token parses as a float (anc reader parity)
+    bool all_ok = true;
+    std::vector<double> ages;
+    ages.reserve(t->n_hap);
+    for (int64_t i = 0; i < t->n_hap; i++) {
+      const char* b = tok[2 + i].first;
+      const char* e2 = tok[2 + i].second;
+      char* endp = nullptr;
+      std::string s(b, e2);  // tokens are short; bounded copy for strtod
+      double v = strtod(s.c_str(), &endp);
+      if (!endp || *endp != '\0' || endp == s.c_str()) {
+        all_ok = false;
+        break;
+      }
+      ages.push_back(v);
+    }
+    if (all_ok) t->sample_ages = std::move(ages);
+  }
+  // header 2: NUM_TREES T
+  {
+    const char* sp = (const char*)memchr(h2b, ' ', h2e - h2b);
+    if (!sp) {
+      snprintf(errbuf, errlen, "bad .anc NUM_TREES line: %s", path);
+      delete t;
+      return nullptr;
+    }
+    t->num_trees = parse_i64(sp + 1, h2e);
+  }
+  int64_t T = t->num_trees, M = 2 * t->n_hap - 1;
+  if (T < 0 || t->n_hap <= 0) {
+    snprintf(errbuf, errlen, "bad .anc dimensions: %s", path);
+    delete t;
+    return nullptr;
+  }
+  // index the first T nonempty body lines
+  std::vector<const char*> lo, hi;
+  lo.reserve(T);
+  hi.reserve(T);
+  while (p < end && (int64_t)lo.size() < T) {
+    auto [s, e] = next_line(p);
+    const char* s2 = s;
+    while (s2 < e && (*s2 == ' ' || *s2 == '\t' || *s2 == '\r')) s2++;
+    if (s2 < e) {
+      lo.push_back(s);
+      hi.push_back(e);
+    }
+  }
+  if ((int64_t)lo.size() < T) {
+    snprintf(errbuf, errlen, "header claims %lld trees, found %lld: %s",
+             (long long)T, (long long)lo.size(), path);
+    delete t;
+    return nullptr;
+  }
+  t->start_pos.resize(T);
+  t->parent.resize(T * M);
+  t->blen.resize(T * M);
+  t->nev.resize(T * M);
+  t->sb.resize(T * M);
+  t->se.resize(T * M);
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if ((size_t)T * (size_t)M < (1u << 16)) nt = 1;
+  std::vector<std::string> errs(nt);
+  std::vector<char> ok(nt, 1);
+  {
+    std::vector<std::thread> th;
+    for (unsigned w = 0; w < nt; w++) {
+      size_t t0 = (size_t)T * w / nt, t1 = (size_t)T * (w + 1) / nt;
+      th.emplace_back([&, w, t0, t1] {
+        ok[w] = parse_anc_range(lo, hi, t0, t1, M, t, errs[w]);
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  for (unsigned w = 0; w < nt; w++)
+    if (!ok[w]) {
+      snprintf(errbuf, errlen, "%s: %s", errs[w].c_str(), path);
+      delete t;
+      return nullptr;
+    }
+  return t;
+}
+
+int64_t cn_anc_n(void* h) { return ((AncC*)h)->num_trees; }
+int64_t cn_anc_nhap(void* h) { return ((AncC*)h)->n_hap; }
+
+void* cn_anc_col(void* h, int col, int64_t* nbytes) {
+  auto* t = (AncC*)h;
+  auto ret = [&](void* p, size_t nb) {
+    *nbytes = (int64_t)nb;
+    return p;
+  };
+  switch (col) {
+    case 0: return ret(t->start_pos.data(), t->start_pos.size() * 8);
+    case 1: return ret(t->parent.data(), t->parent.size() * 4);
+    case 2: return ret(t->blen.data(), t->blen.size() * 8);
+    case 3: return ret(t->nev.data(), t->nev.size() * 4);
+    case 4: return ret(t->sb.data(), t->sb.size() * 4);
+    case 5: return ret(t->se.data(), t->se.size() * 4);
+    case 6: return ret(t->sample_ages.data(), t->sample_ages.size() * 8);
+    default: break;
+  }
+  *nbytes = -1;
+  return nullptr;
+}
+
+void cn_anc_free(void* h) { delete (AncC*)h; }
+
+}  // extern "C"

@@ -1,0 +1,130 @@
+"""Device kernel for the tree-based rate estimator (coal_tree::populate).
+
+The reference walks each marginal tree sequentially: sort the 2N-1 node
+ages, sweep the lineage count k(t), and accumulate per-epoch
+coalescence counts and pair exposure (coal_tree.cpp:100-174).  Here a
+whole chromosome of trees is one batched program over [T, M] arrays:
+
+- sort every row once (``jnp.argsort`` stable, index tiebreak like the
+  reference's pre-sorted coordinate/index pairs);
+- the per-epoch exposure is NOT materialised as a [T, M, E] overlap
+  tensor; instead the cumulative pair exposure
+  ``G(t) = \\int_0^t C(k(s),2) ds`` is a piecewise-linear function with
+  breakpoints at the sorted node ages, so per tree we build its prefix
+  values (one cumsum) and evaluate it at the E epoch edges with a
+  row-wise ``searchsorted`` — O(M log M + E) per tree and [T, M]
+  memory, which XLA maps to the VPU as pure vector code;
+- coalescence counts per epoch are differences of the cumulative
+  internal-node count at the same edges (boundary semantics match the
+  reference's epoch assignment: an event at exactly ``epochs[e+1]``
+  belongs to epoch ``e``, and events past the final boundary drop,
+  coal_tree.cpp:148-158);
+- per-tree [E] rows are weighted by span/1e9 and segment-summed into
+  the 5000-tree bootstrap blocks on device.
+
+Everything accumulates in f64 (the estimator's golden tests compare
+rates to the reference at 1e-5 rtol over ~1e5-tree sums; f32
+accumulation loses that).  Trees stream through fixed-size slabs so
+compile counts stay bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+_TREE_SLAB = 8192  # trees per compiled slab
+
+
+def _slab_bucket(n: int) -> int:
+    b = 256
+    while b < n:
+        b *= 2
+    return min(b, _TREE_SLAB)
+
+
+@functools.lru_cache(maxsize=32)
+def _populate_fn(S: int, M: int, N: int, E: int, nseg: int):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(coords, spans, blocks, epochs):
+        # coords [S, M] f32; spans [S] f64; blocks [S] i32; epochs [E] f64
+        order = jnp.argsort(coords, axis=1, stable=True)
+        sc = jnp.take_along_axis(coords, order, axis=1).astype(jnp.float64)
+        is_leaf = order < N
+        k = jnp.cumsum(jnp.where(is_leaf, 1, -1), axis=1)  # lineage count [S,M]
+        kf = k[:, :-1].astype(jnp.float64)
+        pairs = kf * (kf - 1.0) * 0.5  # C(k,2) on [sc[j], sc[j+1]]  [S,M-1]
+        seg = sc[:, 1:] - sc[:, :-1]
+        zero = jnp.zeros((S, 1), jnp.float64)
+        # G at breakpoint sc[j]; slope after sc[j] is pairs[j] (0 past root)
+        cumG = jnp.concatenate([zero, jnp.cumsum(pairs * seg, axis=1)], axis=1)
+        slope = jnp.concatenate([pairs, zero], axis=1)  # [S,M]
+        ccnt = jnp.cumsum(~is_leaf, axis=1).astype(jnp.float64)  # [S,M]
+
+        idx = (
+            jax.vmap(lambda row: jnp.searchsorted(row, epochs, side="right"))(sc)
+            - 1
+        )  # [S,E]: last breakpoint <= edge (ages equal to the edge included)
+        valid = idx >= 0
+        idxc = jnp.clip(idx, 0, M - 1)
+        take = lambda a: jnp.take_along_axis(a, idxc, axis=1)
+        g_at = take(cumG) + take(slope) * (epochs[None, :] - take(sc))
+        g_at = jnp.where(valid, g_at, 0.0)
+        c_at = jnp.where(valid, take(ccnt), 0.0)
+
+        w = (spans / 1e9)[:, None]  # divide, not *1e-9: bit parity with host
+        num_t = jnp.diff(c_at, axis=1) * w  # [S, E-1]: epochs 0..E-2
+        den_t = jnp.diff(g_at, axis=1) * w
+        num = jax.ops.segment_sum(num_t, blocks, num_segments=nseg)
+        den = jax.ops.segment_sum(den_t, blocks, num_segments=nseg)
+        pad = jnp.zeros((nseg, 1), jnp.float64)  # final epoch: sweep stops
+        return (
+            jnp.concatenate([num, pad], axis=1),
+            jnp.concatenate([den, pad], axis=1),
+        )
+
+    return jax.jit(fn)
+
+
+def populate_device(
+    coords: np.ndarray,
+    spans: np.ndarray,
+    blocks: np.ndarray,
+    epochs: np.ndarray,
+    n_hap: int,
+    num_blocks: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched coal_tree::populate on the default JAX backend.
+
+    coords: [T, 2N-1] f32 node ages; spans: [T] f64 genome span per tree;
+    blocks: [T] block index of each tree; epochs: [E] f64.
+    Returns ([num_blocks, E], [num_blocks, E]) f64 num/denom sums.
+    """
+    from colate_tpu import enable_x64
+
+    enable_x64()
+    T, M = coords.shape
+    E = epochs.shape[0]
+    nseg = max(int(num_blocks), 1)
+    num = np.zeros((nseg, E), np.float64)
+    den = np.zeros((nseg, E), np.float64)
+    ep = np.asarray(epochs, np.float64)
+    i = 0
+    while i < T:
+        n = min(_TREE_SLAB, T - i)
+        S = _slab_bucket(n)
+        c = np.zeros((S, M), np.float32)
+        c[:n] = coords[i : i + n]
+        s = np.zeros(S, np.float64)
+        s[:n] = spans[i : i + n]  # zero span => padded rows contribute 0
+        b = np.zeros(S, np.int32)
+        b[:n] = blocks[i : i + n]
+        fn = _populate_fn(S, M, int(n_hap), E, nseg)
+        num_d, den_d = fn(c, s, b, ep)
+        num += np.asarray(num_d)
+        den += np.asarray(den_d)
+        i += n
+    return num, den

@@ -297,3 +297,52 @@ def test_binning_block_axis_past_512(tmp_path):
     )
     with pytest.raises(ValueError, match="MAX_BLOCKS"):
         bin_sites_analytic(too_many)
+
+
+def test_anc_native_matches_python(tmp_path):
+    """cn_anc_read vs the pure-Python .anc parser: identical columns,
+    including sample ages and f64 branch lengths (strtod parity)."""
+    from colate_tpu.formats.anc import AncFile
+    from helpers.synth_anc import make_anc_mut
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    prefix = str(tmp_path / "t")
+    make_anc_mut(prefix, "1", N=7, num_trees=23, seed=3,
+                 sample_ages=[0.0, 0.0, 12.5, 0.0, 3.25, 0.0, 0.0])
+    path = prefix + "_chr1.anc"
+    nat = AncFile._read_native(path)
+    py = AncFile._read_python(path)
+    assert nat is not None
+    assert nat.n_hap == py.n_hap
+    np.testing.assert_array_equal(nat.start_pos, py.start_pos)
+    np.testing.assert_array_equal(nat.parent, py.parent)
+    np.testing.assert_array_equal(nat.branch_length, py.branch_length)
+    np.testing.assert_array_equal(nat.num_events, py.num_events)
+    np.testing.assert_array_equal(nat.snp_begin, py.snp_begin)
+    np.testing.assert_array_equal(nat.snp_end, py.snp_end)
+    np.testing.assert_array_equal(nat.sample_ages, py.sample_ages)
+
+
+def test_anc_native_gz_and_no_ages(tmp_path):
+    import gzip
+    import os
+
+    from colate_tpu.formats.anc import AncFile
+    from helpers.synth_anc import make_anc_mut
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    prefix = str(tmp_path / "t")
+    make_anc_mut(prefix, "1", N=5, num_trees=9, seed=8)
+    path = prefix + "_chr1.anc"
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    with gzip.open(path + ".gz", "wb") as fh:
+        fh.write(raw)
+    os.remove(path)
+    nat = AncFile._read_native(path)  # resolves the .gz fallback natively
+    py = AncFile._read_python(path)
+    assert nat.sample_ages is None and py.sample_ages is None
+    np.testing.assert_array_equal(nat.branch_length, py.branch_length)
+    np.testing.assert_array_equal(nat.parent, py.parent)

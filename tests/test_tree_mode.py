@@ -106,3 +106,94 @@ def test_tree_mode_golden_bootstrap(anc_fixture, tmp_path):
     assert ours.rates.shape == ref.rates.shape
     m = np.isfinite(ref.rates)
     np.testing.assert_allclose(ours.rates[m], ref.rates[m], rtol=1e-5)
+
+
+def _tree_inputs(anc_fixture, bins="2,6,0.5"):
+    from colate_tpu.models.tree_coal import epochs_from_bins_tree, tree_spans
+    from colate_tpu.formats.mut import MutTable
+
+    anc = AncFile.read(anc_fixture["prefix"] + "_chr1.anc")
+    mut = MutTable.read(anc_fixture["prefix"] + "_chr1.mut")
+    epochs = epochs_from_bins_tree(bins, 28.0)
+    return anc, mut, epochs
+
+
+def test_populate_device_matches_numpy(anc_fixture):
+    """The device populate kernel (cumulative-exposure evaluation) must
+    reproduce the host interval-overlap oracle in f64."""
+    jax = pytest.importorskip("jax")
+    from colate_tpu.models.tree_coal import accumulate_tree_stats
+
+    anc, mut, epochs = _tree_inputs(anc_fixture)
+    E = epochs.shape[0]
+    num_np = np.zeros((8, E)); den_np = np.zeros((8, E))
+    num_dv = np.zeros((8, E)); den_dv = np.zeros((8, E))
+    nb1 = accumulate_tree_stats(anc, mut, epochs, 0, num_np, den_np,
+                                backend="numpy")
+    nb2 = accumulate_tree_stats(anc, mut, epochs, 0, num_dv, den_dv,
+                                backend="device")
+    assert nb1 == nb2
+    np.testing.assert_allclose(num_dv, num_np, rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(den_dv, den_np, rtol=1e-12, atol=1e-300)
+    assert den_np.sum() > 0
+
+
+def test_populate_device_ancient_samples(tmp_path):
+    """Ancient (nonzero-age) leaves shift both the k(t) sweep and the
+    coalescence binning; device and host must agree."""
+    pytest.importorskip("jax")
+    from colate_tpu.formats.mut import MutTable
+    from colate_tpu.models.tree_coal import (
+        accumulate_tree_stats,
+        epochs_from_bins_tree,
+    )
+    from helpers.synth_anc import make_anc_mut
+
+    prefix = str(tmp_path / "aa")
+    ages = [0.0, 40.0, 0.0, 125.0, 0.0, 0.0, 7.5, 0.0]
+    make_anc_mut(prefix, "1", N=8, num_trees=41, seed=19, sample_ages=ages)
+    anc = AncFile.read(prefix + "_chr1.anc")
+    mut = MutTable.read(prefix + "_chr1.mut")
+    epochs = epochs_from_bins_tree("1,6,0.4", 28.0)
+    E = epochs.shape[0]
+    outs = []
+    for backend in ("numpy", "device"):
+        num = np.zeros((4, E)); den = np.zeros((4, E))
+        accumulate_tree_stats(anc, mut, epochs, 0, num, den, backend=backend)
+        outs.append((num, den))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-12, atol=1e-300)
+
+
+@pytest.mark.oracle
+def test_tree_mode_golden_device_backend(anc_fixture, tmp_path, monkeypatch):
+    """Whole tree mode with the device kernel forced on must stay within
+    golden tolerance of the reference CoalRate binary."""
+    pytest.importorskip("jax")
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    import colate_tpu.models.tree_coal as tc
+
+    monkeypatch.setattr(tc, "_DEVICE_MIN_NODES", 0)  # force device dispatch
+    ref_out = str(tmp_path / "ref_tree_dev")
+    subprocess.run(
+        [REF_COALRATE, "--mode", "tree", "-i", anc_fixture["prefix"],
+         "--chr", anc_fixture["chrfile"], "--bins", "2,6,0.5", "-o", ref_out],
+        check=True, capture_output=True, timeout=300,
+    )
+
+    class Args:
+        input = anc_fixture["prefix"]
+        bins = "2,6,0.5"
+        chr_file = anc_fixture["chrfile"]
+        years_per_gen = None
+        num_bootstraps = 1
+        coal = None
+        output = str(tmp_path / "our_tree_dev")
+
+    tc.run_tree_mode(Args())
+    ref = CoalFile.read(ref_out + ".coal")
+    ours = CoalFile.read(str(tmp_path / "our_tree_dev.coal"))
+    m = np.isfinite(ref.rates)
+    np.testing.assert_allclose(ours.rates[m], ref.rates[m], rtol=1e-5, atol=0)
+    np.testing.assert_array_equal(np.isfinite(ours.rates), m)
