@@ -345,6 +345,30 @@ def node_ages(anc: AncFile) -> np.ndarray:
     """
     T, M = anc.parent.shape
     N = anc.n_hap
+
+    # native threaded pass (io.cpp:cn_tree_coords) when available; falls
+    # through to the numpy/post-order paths on arbitrary node numbering
+    try:
+        import ctypes
+
+        from colate_tpu import native
+
+        lib = native.load()
+    except Exception:
+        lib = None
+    if lib is not None:
+        par = np.ascontiguousarray(anc.parent, np.int32)
+        bl = np.ascontiguousarray(anc.branch_length, np.float64)
+        ages = (
+            np.ascontiguousarray(anc.sample_ages, np.float64)
+            if anc.sample_ages is not None and anc.sample_ages.size
+            else None
+        )
+        out = np.empty((T, M), np.float32)
+        p = lambda a: ctypes.c_void_p(0 if a is None else a.ctypes.data)
+        if lib.cn_tree_coords(T, M, N, p(par), p(bl), p(ages), p(out)):
+            return out
+
     coords = np.zeros((T, M), np.float32)
     if anc.sample_ages is not None and anc.sample_ages.size:
         coords[:, :N] = anc.sample_ages[None, :].astype(np.float32)

@@ -79,6 +79,179 @@ def resolve_tmp_inputs(cfg: MutRunConfig):
     return chroms, mut_files, tmask, rmask
 
 
+def compute_suffstats(
+    cfg: MutRunConfig,
+    chroms,
+    mut_files,
+    tmask_files,
+    rmask_files,
+    age: float,
+    ref_age: float,
+    parity: bool,
+    rng,
+    seed: int,
+    timings: dict,
+):
+    """Parse + bin stage of mode mut: dispatch one of the six reference
+    parsers over the given chromosome subset and return the per-block
+    sufficient statistics ``(sh_b, ns_b, se_b, ne_b, num_sites,
+    num_blocks)``.  Block indices are local to the subset (each
+    chromosome starts a fresh 30 Mb block, coal.cpp:2113-2120), which is
+    what lets the multi-host driver (parallel/multihost.py) concatenate
+    per-process block ranges disjointly."""
+    nbins = NUM_AGE_BINS
+    t0 = time.time()
+    num_blocks = 0
+    num_sites = 0
+    sh_b = ns_b = se_b = ne_b = None
+    def per_chr(prefix, ext):
+        if prefix is None:
+            return None
+        if cfg.chr_list:
+            return [f"{prefix}_chr{c}{ext}" for c in chroms]
+        return [prefix]
+
+    mc_hists = None  # fused split-mode parity histograms
+    fused = None  # fused native tmp-mode histograms
+    # dispatch order mirrors the reference (coal.cpp:3175-3317)
+    if cfg.target_bcf and cfg.reference_bcf:
+        from colate_tpu.pipeline.join_vcf import join_vcfvcf
+
+        sites = join_vcfvcf(
+            chroms,
+            mut_files,
+            per_chr(cfg.target_bcf, ".bcf"),
+            per_chr(cfg.reference_bcf, ".bcf"),
+            tmask_files,
+            rmask_files,
+            per_chr(cfg.ref_genome, ".fa"),
+            age,
+            ref_age,
+        )
+    elif cfg.target_bcf:
+        from colate_tpu.pipeline.join_vcf import join_vcf_split
+
+        split_rng = rng if parity else MT19937(seed)
+        if parity:
+            # 4096 blocks of 30 Mb ≈ a 123 Gb genome — ample for
+            # the split-mode parity replay scratch histograms
+            mc_hists = tuple(
+                np.zeros((4096, nbins), np.float64) for _ in range(4)
+            )
+        sites = join_vcf_split(
+            chroms,
+            mut_files,
+            per_chr(cfg.target_bcf, ".bcf"),
+            tmask_files,
+            per_chr(cfg.ref_genome, ".fa"),
+            split_rng,
+            age,
+            ref_age,
+            mc_hists=mc_hists,
+        )
+    elif cfg.target_bam and cfg.reference_bcf:
+        from colate_tpu.pipeline.join_bam import join_onebamvcf
+
+        if not cfg.ref_genome:
+            raise ValueError("mut with --target_bam requires --ref_genome")
+        sites = join_onebamvcf(
+            chroms,
+            mut_files,
+            cfg.target_bam + ".bam",  # coal.cpp:3228
+            per_chr(cfg.reference_bcf, ".bcf"),
+            tmask_files,
+            rmask_files,
+            per_chr(cfg.ref_genome, ".fa"),
+            params=cfg.filters,
+            age=age,
+            ref_age=ref_age,
+        )
+    elif cfg.target_bam and cfg.reference_bam:
+        from colate_tpu.pipeline.join_bam import join_onebambam
+
+        if not cfg.ref_genome:
+            raise ValueError("mut with --target_bam requires --ref_genome")
+        sites = join_onebambam(
+            chroms,
+            mut_files,
+            cfg.target_bam,  # used as-is (coal.cpp:3262)
+            cfg.reference_bam,
+            tmask_files,
+            rmask_files,
+            per_chr(cfg.ref_genome, ".fa"),
+            params=cfg.filters,
+            age=age,
+            ref_age=ref_age,
+        )
+    elif cfg.target_tmp and cfg.reference_tmp:
+        # the decoders are independent native calls (GIL released):
+        # the two site streams and masks decode on host threads
+        # WHILE the fused .mut prefilter (parse + row filters)
+        # runs — the cursor join is the only stage that needs
+        # both, so the host pipeline has no serial decode phase
+        from concurrent.futures import ThreadPoolExecutor
+
+        from colate_tpu.pipeline.join import (
+            fused_join_bin_native,
+            mut_prefilter_native,
+        )
+
+        dedup = len(set(chroms)) == len(chroms)
+        sites = None
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            fut_t = ex.submit(read_colate_in, cfg.target_tmp)
+            fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
+            tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+            rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+            pf = (
+                mut_prefilter_native(mut_files, tmasks, rmasks, age)
+                if (not parity and dedup)
+                else None
+            )
+            target = fut_t.result()
+            reference = fut_r.result()
+        if pf is not None:
+            fused = fused_join_bin_native(
+                pf, chroms, target, reference, age, ref_age
+            )
+        if fused is not None:
+            (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
+            timings["parse"] = time.time() - t0
+            timings["binning"] = 0.0
+        else:
+            mut_tables = [MutTable.read(f) for f in mut_files]
+            sites = join_tmptmp(
+                chroms, mut_tables, target, reference, tmasks, rmasks,
+                age, ref_age,
+            )
+    else:
+        raise ValueError(
+            "mode mut needs target_bcf [+reference_bcf], "
+            "target_bam+reference_bcf, target_bam+reference_bam, or "
+            "target_tmp+reference_tmp"
+        )
+    if sites is not None:
+        num_sites = len(sites)
+        num_blocks = sites.num_blocks
+        timings["parse"] = time.time() - t0
+
+        t0 = time.time()
+        # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
+        if mc_hists is not None:  # split-mode parity: already binned
+            sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
+        elif parity:
+            sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(
+                sites, rng, age=0.0
+            )
+        else:
+            hists = bin_sites_analytic_native(sites, age=0.0)
+            if hists is None:
+                hists = bin_sites_analytic(sites, age=0.0)
+            sh_b, ns_b, se_b, ne_b = hists
+        timings["binning"] = time.time() - t0
+    return sh_b, ns_b, se_b, ne_b, num_sites, num_blocks
+
+
 def run_mut(cfg: MutRunConfig) -> MutResult:
     import jax.numpy as jnp
 
@@ -88,7 +261,6 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     enable_x64()
     enable_compilation_cache()
     timings: dict = {}
-    nbins = NUM_AGE_BINS
     age_bins = age_bin_centers()
 
     target_age = float(np.float32(cfg.target_age))
@@ -109,16 +281,13 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
     if os.path.exists(mat_path):
         _, shared_counts, notshared_counts = read_colate_mat(mat_path, B)
         timings["parse"] = 0.0
+        return finish_from_suffstats(
+            cfg, None, None, None, None, 0, 0, timings, rng=rng, seed=seed,
+            counts=(shared_counts, notshared_counts),
+        )
     else:
         t0 = time.time()
         chroms, mut_files, tmask_files, rmask_files = resolve_tmp_inputs(cfg)
-
-        def per_chr(prefix, ext):
-            if prefix is None:
-                return None
-            if cfg.chr_list:
-                return [f"{prefix}_chr{c}{ext}" for c in chroms]
-            return [prefix]
 
         ckpt = None
         ckpt_fp = None
@@ -144,144 +313,10 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
             timings["parse"] = time.time() - t0
             timings["binning"] = 0.0
         else:
-            mc_hists = None  # fused split-mode parity histograms
-            fused = None  # fused native tmp-mode histograms
-            # dispatch order mirrors the reference (coal.cpp:3175-3317)
-            if cfg.target_bcf and cfg.reference_bcf:
-                from colate_tpu.pipeline.join_vcf import join_vcfvcf
-
-                sites = join_vcfvcf(
-                    chroms,
-                    mut_files,
-                    per_chr(cfg.target_bcf, ".bcf"),
-                    per_chr(cfg.reference_bcf, ".bcf"),
-                    tmask_files,
-                    rmask_files,
-                    per_chr(cfg.ref_genome, ".fa"),
-                    age,
-                    ref_age,
-                )
-            elif cfg.target_bcf:
-                from colate_tpu.pipeline.join_vcf import join_vcf_split
-
-                split_rng = rng if parity else MT19937(seed)
-                if parity:
-                    # 4096 blocks of 30 Mb ≈ a 123 Gb genome — ample for
-                    # the split-mode parity replay scratch histograms
-                    mc_hists = tuple(
-                        np.zeros((4096, nbins), np.float64) for _ in range(4)
-                    )
-                sites = join_vcf_split(
-                    chroms,
-                    mut_files,
-                    per_chr(cfg.target_bcf, ".bcf"),
-                    tmask_files,
-                    per_chr(cfg.ref_genome, ".fa"),
-                    split_rng,
-                    age,
-                    ref_age,
-                    mc_hists=mc_hists,
-                )
-            elif cfg.target_bam and cfg.reference_bcf:
-                from colate_tpu.pipeline.join_bam import join_onebamvcf
-
-                if not cfg.ref_genome:
-                    raise ValueError("mut with --target_bam requires --ref_genome")
-                sites = join_onebamvcf(
-                    chroms,
-                    mut_files,
-                    cfg.target_bam + ".bam",  # coal.cpp:3228
-                    per_chr(cfg.reference_bcf, ".bcf"),
-                    tmask_files,
-                    rmask_files,
-                    per_chr(cfg.ref_genome, ".fa"),
-                    params=cfg.filters,
-                    age=age,
-                    ref_age=ref_age,
-                )
-            elif cfg.target_bam and cfg.reference_bam:
-                from colate_tpu.pipeline.join_bam import join_onebambam
-
-                if not cfg.ref_genome:
-                    raise ValueError("mut with --target_bam requires --ref_genome")
-                sites = join_onebambam(
-                    chroms,
-                    mut_files,
-                    cfg.target_bam,  # used as-is (coal.cpp:3262)
-                    cfg.reference_bam,
-                    tmask_files,
-                    rmask_files,
-                    per_chr(cfg.ref_genome, ".fa"),
-                    params=cfg.filters,
-                    age=age,
-                    ref_age=ref_age,
-                )
-            elif cfg.target_tmp and cfg.reference_tmp:
-                # the decoders are independent native calls (GIL released):
-                # the two site streams and masks decode on host threads
-                # WHILE the fused .mut prefilter (parse + row filters)
-                # runs — the cursor join is the only stage that needs
-                # both, so the host pipeline has no serial decode phase
-                from concurrent.futures import ThreadPoolExecutor
-
-                from colate_tpu.pipeline.join import (
-                    fused_join_bin_native,
-                    mut_prefilter_native,
-                )
-
-                dedup = len(set(chroms)) == len(chroms)
-                sites = None
-                with ThreadPoolExecutor(max_workers=8) as ex:
-                    fut_t = ex.submit(read_colate_in, cfg.target_tmp)
-                    fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
-                    tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
-                    rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
-                    pf = (
-                        mut_prefilter_native(mut_files, tmasks, rmasks, age)
-                        if (not parity and dedup)
-                        else None
-                    )
-                    target = fut_t.result()
-                    reference = fut_r.result()
-                if pf is not None:
-                    fused = fused_join_bin_native(
-                        pf, chroms, target, reference, age, ref_age
-                    )
-                if fused is not None:
-                    (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
-                    timings["parse"] = time.time() - t0
-                    timings["binning"] = 0.0
-                else:
-                    mut_tables = [MutTable.read(f) for f in mut_files]
-                    sites = join_tmptmp(
-                        chroms, mut_tables, target, reference, tmasks, rmasks,
-                        age, ref_age,
-                    )
-            else:
-                raise ValueError(
-                    "mode mut needs target_bcf [+reference_bcf], "
-                    "target_bam+reference_bcf, target_bam+reference_bam, or "
-                    "target_tmp+reference_tmp"
-                )
-            if sites is not None:
-                num_sites = len(sites)
-                num_blocks = sites.num_blocks
-                timings["parse"] = time.time() - t0
-
-                t0 = time.time()
-                # every parser forces age=0 (e.g. coal.cpp:597-598, 2073-2074)
-                if mc_hists is not None:  # split-mode parity: already binned
-                    sh_b, ns_b, se_b, ne_b = (h[:num_blocks] for h in mc_hists)
-                elif parity:
-                    sh_b, ns_b, se_b, ne_b = bin_sites_mc_parity(
-                        sites, rng, age=0.0
-                    )
-                else:
-                    hists = bin_sites_analytic_native(sites, age=0.0)
-                    if hists is None:
-                        hists = bin_sites_analytic(sites, age=0.0)
-                    sh_b, ns_b, se_b, ne_b = hists
-                timings["binning"] = time.time() - t0
+            sh_b, ns_b, se_b, ne_b, num_sites, num_blocks = compute_suffstats(
+                cfg, chroms, mut_files, tmask_files, rmask_files,
+                age, ref_age, parity, rng, seed, timings,
+            )
             if ckpt_fp is not None:
                 from colate_tpu.utils.checkpoint import save_suffstats
 
@@ -289,6 +324,49 @@ def run_mut(cfg: MutRunConfig) -> MutResult:
                     ckpt_path, ckpt_fp, sh_b, ns_b, se_b, ne_b, num_sites
                 )
 
+        return finish_from_suffstats(
+            cfg, sh_b, ns_b, se_b, ne_b, num_sites, num_blocks, timings,
+            rng=rng, seed=seed,
+        )
+
+
+def finish_from_suffstats(
+    cfg: MutRunConfig,
+    sh_b,
+    ns_b,
+    se_b,
+    ne_b,
+    num_sites: int,
+    num_blocks: int,
+    timings: dict,
+    rng=None,
+    seed: int | None = None,
+    counts=None,
+) -> MutResult:
+    """Bootstrap + EM stage of mode mut, from per-block sufficient
+    statistics (or, with ``counts``, from pre-bootstrapped count
+    matrices as loaded from a ``.colate_mat`` cache).  Deterministic
+    given its inputs and the seed — the multi-host driver relies on
+    this to keep ranks bit-identical after the DCN merge."""
+    import jax.numpy as jnp
+
+    from colate_tpu.ops.em import run_em
+
+    age_bins = age_bin_centers()
+    target_age = float(np.float32(cfg.target_age))
+    ref_age_y = float(np.float32(cfg.reference_age))
+    ypg = float(np.float32(cfg.years_per_gen))
+    age = max(target_age, ref_age_y) / ypg
+    is_ancient = age > 0.0
+    parity = cfg.sampling == "mc_parity"
+    B = cfg.num_bootstrap
+    if seed is None:
+        seed = cfg.seed if cfg.seed is not None else (int(time.time()) + os.getpid())
+    mat_path = cfg.output + ".colate_mat"
+
+    if counts is not None:
+        shared_counts, notshared_counts = counts
+    else:
         t0 = time.time()
         weights = bootstrap_weights(B, num_blocks, rng=rng, seed=seed)
         shared_counts, notshared_counts, se, ne = weighted_counts(

@@ -175,6 +175,10 @@ def load():
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)
     ]
     lib.cn_anc_free.argtypes = [ctypes.c_void_p]
+    lib.cn_tree_coords.restype = ctypes.c_int
+    lib.cn_tree_coords.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, P, P, P, P
+    ]
     _lib = lib
     return _lib
 

@@ -1445,3 +1445,52 @@ void* cn_anc_col(void* h, int col, int64_t* nbytes) {
 void cn_anc_free(void* h) { delete (AncC*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Node coordinates (Tree::GetCoordinates, anc.cpp:280-334): age(node) =
+// max over children of age(child) + branch_length(child); leaves at 0 or
+// their sample age.  Requires Relate's parents-after-children numbering
+// (one ascending pass per tree); returns 0 so callers can fall back to
+// the general post-order path when the numbering is arbitrary.  Each
+// node f32-rounds once like the reference's std::vector<float>.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int cn_tree_coords(int64_t T, int64_t M, int64_t N, const int32_t* parent,
+                   const double* blen, const double* sample_ages, float* out) {
+  for (int64_t i = 0; i < T * M; i++) {
+    int64_t j = i % M;
+    if (parent[i] >= 0 && parent[i] <= (int32_t)j) return 0;  // not ordered
+  }
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if ((size_t)(T * M) < (1u << 16)) nt = 1;
+  auto work = [&](size_t t0, size_t t1) {
+    std::vector<double> acc(M);
+    for (size_t t = t0; t < t1; t++) {
+      const int32_t* par = parent + t * M;
+      const double* bl = blen + t * M;
+      float* o = out + t * M;
+      std::fill(acc.begin(), acc.end(), -1e300);
+      for (int64_t j = 0; j < M; j++) {
+        float c = j < N ? (sample_ages ? (float)sample_ages[j] : 0.0f)
+                        : (float)acc[j];
+        o[j] = c;
+        int32_t p = par[j];
+        if (p >= 0) {
+          double v = (double)c + bl[j];
+          if (v > acc[p]) acc[p] = v;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> th;
+  for (unsigned w = 0; w < nt; w++)
+    th.emplace_back(work, (size_t)T * w / nt, (size_t)T * (w + 1) / nt);
+  for (auto& x : th) x.join();
+  return 1;
+}
+
+}  // extern "C"

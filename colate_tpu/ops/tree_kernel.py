@@ -34,13 +34,13 @@ import functools
 
 import numpy as np
 
-_TREE_SLAB = 8192  # trees per compiled slab
+_TREE_SLAB = 65536  # trees per compiled slab (one dispatch per chromosome)
 
 
 def _slab_bucket(n: int) -> int:
-    b = 256
+    b = 4096
     while b < n:
-        b *= 2
+        b *= 4
     return min(b, _TREE_SLAB)
 
 
@@ -64,10 +64,15 @@ def _populate_fn(S: int, M: int, N: int, E: int, nseg: int):
         slope = jnp.concatenate([pairs, zero], axis=1)  # [S,M]
         ccnt = jnp.cumsum(~is_leaf, axis=1).astype(jnp.float64)  # [S,M]
 
+        # last breakpoint <= edge (edge-equal ages included): a fused
+        # compare-and-count over the M axis — cheaper to compile and run
+        # than a vmapped searchsorted scan
         idx = (
-            jax.vmap(lambda row: jnp.searchsorted(row, epochs, side="right"))(sc)
+            jnp.sum(
+                sc[:, :, None] <= epochs[None, None, :], axis=1, dtype=jnp.int32
+            )
             - 1
-        )  # [S,E]: last breakpoint <= edge (ages equal to the edge included)
+        )  # [S, E]
         valid = idx >= 0
         idxc = jnp.clip(idx, 0, M - 1)
         take = lambda a: jnp.take_along_axis(a, idxc, axis=1)
@@ -103,9 +108,10 @@ def populate_device(
     blocks: [T] block index of each tree; epochs: [E] f64.
     Returns ([num_blocks, E], [num_blocks, E]) f64 num/denom sums.
     """
-    from colate_tpu import enable_x64
+    from colate_tpu import enable_compilation_cache, enable_x64
 
     enable_x64()
+    enable_compilation_cache()
     T, M = coords.shape
     E = epochs.shape[0]
     nseg = max(int(num_blocks), 1)

@@ -346,3 +346,46 @@ def test_anc_native_gz_and_no_ages(tmp_path):
     assert nat.sample_ages is None and py.sample_ages is None
     np.testing.assert_array_equal(nat.branch_length, py.branch_length)
     np.testing.assert_array_equal(nat.parent, py.parent)
+
+
+def test_tree_coords_native_matches_numpy(tmp_path):
+    """cn_tree_coords vs the numpy ascending pass (and the post-order
+    fallback), including ancient sample ages and f32 rounding."""
+    from colate_tpu.formats.anc import AncFile, node_ages
+    from helpers.synth_anc import make_anc_mut
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    import ctypes
+
+    prefix = str(tmp_path / "t")
+    ages = [0.0, 31.5, 0.0, 0.25, 0.0, 0.0]
+    make_anc_mut(prefix, "1", N=6, num_trees=17, seed=5, sample_ages=ages)
+    anc = AncFile.read(prefix + "_chr1.anc")
+    T, M = anc.parent.shape
+    got = node_ages(anc)  # takes the native path
+
+    # numpy ordered pass (bypass native by direct re-implementation)
+    coords = np.zeros((T, M), np.float32)
+    coords[:, :6] = np.asarray(ages, np.float32)[None, :]
+    acc = np.full((T, M), -np.inf)
+    rows = np.arange(T)
+    for j in range(M):
+        if j >= 6:
+            coords[:, j] = acc[:, j].astype(np.float32)
+        p = anc.parent[:, j]
+        valid = p >= 0
+        vals = coords[:, j].astype(np.float64) + anc.branch_length[:, j]
+        rv, pv = rows[valid], p[valid]
+        acc[rv, pv] = np.maximum(acc[rv, pv], vals[valid])
+    np.testing.assert_array_equal(got, coords)
+
+    # unordered numbering must be rejected (caller falls back)
+    par = np.zeros((1, 3), np.int32)  # parent 0 for node 1,2: not > j
+    par[0] = [2, 2, -1]
+    bad = np.ascontiguousarray(np.array([[1, 0, -1]], np.int32))
+    bl = np.zeros((1, 3), np.float64)
+    out = np.empty((1, 3), np.float32)
+    pp = lambda a: ctypes.c_void_p(a.ctypes.data)
+    assert lib.cn_tree_coords(1, 3, 2, pp(bad), pp(bl), None, pp(out)) == 0
