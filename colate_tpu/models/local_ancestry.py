@@ -84,15 +84,20 @@ def _tree_bp_ranges(anc: AncFile, mut: MutTable):
     return bp_start, bp_end
 
 
-def _group_counts(anc: AncFile, group: np.ndarray, num_groups: int):
-    """[T, M, G] leaf-group counts per subtree (ascending-index pass)."""
-    T, M = anc.parent.shape
-    N = anc.n_hap
+def _group_counts(parent: np.ndarray, n_hap: int, group: np.ndarray,
+                  num_groups: int):
+    """[T, M, G] leaf-group counts per subtree (ascending-index pass).
+
+    ``parent`` may be a row subset of the chromosome's parent matrix —
+    segment handlers pass only their own trees so the cost is
+    O(trees_in_segment · M · G), not O(all_trees · M · G) per segment."""
+    T, M = parent.shape
+    N = n_hap
     C = np.zeros((T, M, num_groups), np.float64)
     C[:, np.arange(N), group[np.arange(N)]] = 1.0
     rows = np.arange(T)
     for j in range(M - 1):
-        p = anc.parent[:, j]
+        p = parent[:, j]
         valid = p >= 0
         np.add.at(C, (rows[valid], p[valid]), C[valid, j])
     return C
@@ -117,13 +122,23 @@ def _children(anc: AncFile):
 
 
 class CoalLA:
-    def __init__(self, epochs: np.ndarray, num_groups: int, max_blocks: int = 4096):
+    def __init__(self, epochs: np.ndarray, num_groups: int, max_blocks: int = 256):
         self.epochs = epochs
         self.G = num_groups
         self.E = epochs.shape[0]
         self.num = np.zeros((max_blocks, num_groups, num_groups, self.E))
         self.denom = np.zeros((max_blocks, num_groups, num_groups, self.E))
         self.num_blocks = 0
+
+    def _ensure_blocks(self, needed: int) -> None:
+        """Grow the block accumulators on demand (no fixed cap)."""
+        if needed <= self.num.shape[0]:
+            return
+        grow = max(needed, 2 * self.num.shape[0])
+        pad = grow - self.num.shape[0]
+        tail = np.zeros((pad,) + self.num.shape[1:])
+        self.num = np.concatenate([self.num, tail])
+        self.denom = np.concatenate([self.denom, tail.copy()])
 
     def add_chromosome(
         self,
@@ -140,6 +155,7 @@ class CoalLA:
         count, coal.cpp:530-533)."""
         T = anc.num_trees
         N = anc.n_hap
+        self._ensure_blocks(self.num_blocks + T // BLOCK_SIZE_TREES + 1)
         spans = np.float32(
             __import__("colate_tpu.models.tree_coal", fromlist=["tree_spans"]).tree_spans(
                 anc, mut
@@ -199,16 +215,17 @@ class CoalLA:
 
         for li2, items in per_seg.items():
             group = segments[li2][1]
-            C = _group_counts(anc, group, self.G)  # [T, M, G]
             trees = np.array([t for t, _, _ in items], np.int64)
             ws = np.array([w for _, w, _ in items], np.float64) / 1e9
             blks = np.array([b for _, _, b in items], np.int64)
+            # group counts over ONLY this segment's trees: [S, M, G]
+            C = _group_counts(anc.parent[trees], N, group, self.G)
             # child group-count vectors of internal nodes for these trees
             c1 = ch[trees][:, internal, 0]
             c2 = ch[trees][:, internal, 1]
             tsel = np.arange(trees.size)[:, None]
-            n1 = C[trees[:, None], c1]  # [S, N-1, G]
-            n2 = C[trees[:, None], c2]
+            n1 = C[tsel, c1]  # [S, N-1, G]
+            n2 = C[tsel, c2]
             X = np.einsum("sig,sih->sigh", n1, n2)  # ordered outer product
             cnt = X + np.swapaxes(X, 2, 3)
             diag = np.arange(self.G)
@@ -271,11 +288,14 @@ class CoalLA:
         lab_group = uniq[:, 0].astype(np.int64)
         lab_age = uniq[:, 1]
 
-        CL = _group_counts(anc, lab_of_hap.astype(np.int64), L)  # [T, M, L]
+        CL = _group_counts(
+            anc.parent[trees], anc.n_hap, lab_of_hap.astype(np.int64), L
+        )  # [S, M, L]
         c1 = ch[trees][:, internal, 0]
         c2 = ch[trees][:, internal, 1]
-        n1 = CL[trees[:, None], c1]  # [S, K, L]
-        n2 = CL[trees[:, None], c2]
+        tsel = np.arange(trees.size)[:, None]
+        n1 = CL[tsel, c1]  # [S, K, L]
+        n2 = CL[tsel, c2]
         X = np.einsum("sil,sim->silm", n1, n2)  # child1-label x child2-label
 
         # per label pair: age class + sorted group key

@@ -133,11 +133,10 @@ def compute_suffstats(
 
         split_rng = rng if parity else MT19937(seed)
         if parity:
-            # 4096 blocks of 30 Mb ≈ a 123 Gb genome — ample for
-            # the split-mode parity replay scratch histograms
-            mc_hists = tuple(
-                np.zeros((4096, nbins), np.float64) for _ in range(4)
-            )
+            from colate_tpu.pipeline.binning import GrowableBlockHists
+
+            # grows with the genome: no fixed block cap
+            mc_hists = GrowableBlockHists(nbins)
         sites = join_vcf_split(
             chroms,
             mut_files,
@@ -342,12 +341,16 @@ def finish_from_suffstats(
     rng=None,
     seed: int | None = None,
     counts=None,
+    write_outputs: bool = True,
 ) -> MutResult:
     """Bootstrap + EM stage of mode mut, from per-block sufficient
     statistics (or, with ``counts``, from pre-bootstrapped count
     matrices as loaded from a ``.colate_mat`` cache).  Deterministic
     given its inputs and the seed — the multi-host driver relies on
-    this to keep ranks bit-identical after the DCN merge."""
+    this to keep ranks bit-identical after the DCN merge.  Multi-host
+    callers pass ``write_outputs=False`` on non-zero ranks so the
+    ``.colate_mat`` cache is written exactly once (no concurrent writes
+    to a shared filesystem)."""
     import jax.numpy as jnp
 
     from colate_tpu.ops.em import run_em
@@ -377,7 +380,10 @@ def finish_from_suffstats(
         if not tmp_inputs:
             shared_counts = shared_counts / COLATE_MAT_NORM
             notshared_counts = notshared_counts / COLATE_MAT_NORM
-            write_colate_mat(mat_path, age_bins, shared_counts, notshared_counts)
+            if write_outputs:
+                write_colate_mat(
+                    mat_path, age_bins, shared_counts, notshared_counts
+                )
         timings["bootstrap"] = time.time() - t0
 
     # ---- epochs + initial rates ----

@@ -33,6 +33,7 @@ from colate_tpu.formats.mut import MutTable
 from colate_tpu.hostrng import MT19937
 
 BLOCK_SIZE_TREES = 5000  # coal.cpp:140
+_INITIAL_BLOCKS = 256  # starting accumulator size; grows on demand
 
 
 def tree_spans(anc: AncFile, mut: MutTable) -> np.ndarray:
@@ -227,13 +228,21 @@ def run_tree_mode(args) -> int:
 
     from colate_tpu.utils.progress import log_event
 
-    max_blocks = 4096
-    num = np.zeros((max_blocks, E), np.float64)
-    denom = np.zeros((max_blocks, E), np.float64)
+    # block accumulators grow on demand (no fixed cap: a chromosome adds
+    # T // BLOCK_SIZE_TREES + 1 blocks, unbounded in principle)
+    num = np.zeros((_INITIAL_BLOCKS, E), np.float64)
+    denom = np.zeros((_INITIAL_BLOCKS, E), np.float64)
     nb = 0
     for c in chroms:
         anc = AncFile.read(f"{args.input}_chr{c}.anc")
         mut = MutTable.read(f"{args.input}_chr{c}.mut")
+        need = nb + anc.num_trees // BLOCK_SIZE_TREES + 1
+        if need > num.shape[0]:
+            grow = max(need, 2 * num.shape[0])
+            num = np.concatenate([num, np.zeros((grow - num.shape[0], E))])
+            denom = np.concatenate(
+                [denom, np.zeros((grow - denom.shape[0], E))]
+            )
         nb += accumulate_tree_stats(anc, mut, epochs, nb, num, denom)
         log_event("tree_chrom", chrom=c, trees=anc.num_trees, blocks=nb)
     B = args.num_bootstraps or 1

@@ -91,11 +91,18 @@ def redistribute_emp(
         denom = se[bin_start:] + ne[bin_start:]
         with np.errstate(invalid="ignore", divide="ignore"):
             F[bin_start:] = np.where(nz, se[bin_start:] / denom, 0.0)
-        # width scaling with the reference's index shift: F[bin-1] *= width
-        lower_age = age_bin[bin_start - 1]
-        for b in range(bin_start, nbins):
-            F[b - 1] *= age_bin[b] - lower_age
-            lower_age = age_bin[b]
+        # Width scaling with the reference's index shift (coal.cpp:
+        # 3420-3426): the loop runs `F[bin-1] *= age_bin[bin]-lower_age`
+        # for bin in [bin_start, nbins).  Observable effect:
+        # F[b] *= age_bin[b+1]-age_bin[b] for b in [bin_start-1, nbins-2]
+        # and F[nbins-1] KEEPS ITS UNSCALED RATIO.  For modern samples
+        # (bin_start==0) the first write targets F[-1], which in the
+        # binary is an out-of-bounds store landing outside F (genuine UB
+        # at coal.cpp:3399/3423) — no element of F is modified by it, so
+        # we simply skip it (do NOT emulate with Python wrap-around,
+        # which would scale and sign-flip the last bin).
+        lo = max(bin_start - 1, 0)
+        F[lo : nbins - 1] *= age_bin[lo + 1 : nbins] - age_bin[lo : nbins - 1]
         normf = float(np.sum(F))
         if normf != 0.0:
             F = F / normf * fcount

@@ -81,7 +81,14 @@ def _populate_fn(S: int, M: int, N: int, E: int, nseg: int):
         c_at = jnp.where(valid, take(ccnt), 0.0)
 
         w = (spans / 1e9)[:, None]  # divide, not *1e-9: bit parity with host
-        num_t = jnp.diff(c_at, axis=1) * w  # [S, E-1]: epochs 0..E-2
+        num_t = jnp.diff(c_at, axis=1)  # [S, E-1]: epochs 0..E-2
+        # epoch 0 collects EVERY event with age <= epochs[1], including
+        # age <= epochs[0] (zero-branch-length trees coalesce at exactly
+        # 0); a plain difference c_at(edge1)-c_at(edge0) would drop those
+        # while the host oracle (searchsorted(epochs[1:], 'left')) and the
+        # reference sweep (coords <= *it_epochs) count them in epoch 0
+        num_t = num_t.at[:, 0].set(c_at[:, 1])
+        num_t = num_t * w
         den_t = jnp.diff(g_at, axis=1) * w
         num = jax.ops.segment_sum(num_t, blocks, num_segments=nseg)
         den = jax.ops.segment_sum(den_t, blocks, num_segments=nseg)

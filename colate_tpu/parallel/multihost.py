@@ -47,8 +47,21 @@ def init_distributed(
     """
     import jax
 
-    if jax.process_count() > 1 or getattr(init_distributed, "_done", False):
+    if getattr(init_distributed, "_done", False):
         return
+    # Do NOT call any backend-initialising JAX API (jax.process_count(),
+    # jax.devices(), ...) before jax.distributed.initialize(): touching the
+    # backend first makes initialize() raise "must be called before any JAX
+    # computations are executed".  Idempotency is checked through the
+    # distributed global state instead.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            init_distributed._done = True
+            return
+    except Exception:
+        pass
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
@@ -152,6 +165,19 @@ def run_mut_multihost(cfg: MutRunConfig):
 
     if cfg.sampling == "mc_parity":
         raise ValueError("multihost runs require analytic sampling")
+    if cfg.target_bcf and not cfg.reference_bcf:
+        # The half-split parser (parse_vcf, coal.cpp:594-904) consumes ONE
+        # continuous MT19937(seed) stream across all chromosomes for its
+        # haplotype split; per-process replay over a chromosome subset
+        # would realise a different split than the single-process run, so
+        # the merged suffstats would not match.  Only RNG-free parsers
+        # (tmp/bam/vcfvcf) are supported multi-host.
+        raise ValueError(
+            "multihost mode mut does not support the single-BCF half-split "
+            "parser (its haplotype split draws from one sequential RNG "
+            "stream across chromosomes); run it single-process or use "
+            "make_tmp first"
+        )
     nproc = jax.process_count()
     pid = jax.process_index()
     if nproc <= 1:
@@ -216,7 +242,8 @@ def run_mut_multihost(cfg: MutRunConfig):
     # sufficient statistics — run replicated so every rank can serve the
     # result; rank 0 writes
     res = mut_em.finish_from_suffstats(
-        cfg, sh_b, ns_b, se_b, ne_b, num_sites, total_blocks, timings
+        cfg, sh_b, ns_b, se_b, ne_b, num_sites, total_blocks, timings,
+        write_outputs=(pid == 0),
     )
     if pid == 0:
         write_mut_coal(

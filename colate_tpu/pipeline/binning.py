@@ -325,6 +325,34 @@ def _bin_analytic_jit(*args):
     return _bin_analytic_cache(*args)
 
 
+class GrowableBlockHists:
+    """Four [blocks, nbins] block-histogram accumulators that grow on
+    demand — no fixed block cap (a 30 Mb-block genome of any size fits).
+
+    Iterating yields the four current arrays (shared, notshared,
+    shared_emp, notshared_emp), so callers that unpack a 4-tuple work
+    unchanged; callers that know the upcoming block range call
+    :meth:`ensure` first."""
+
+    def __init__(self, nbins: int = NUM_AGE_BINS, initial_blocks: int = 512):
+        self.arrays = [
+            np.zeros((initial_blocks, nbins), np.float64) for _ in range(4)
+        ]
+
+    def ensure(self, blocks: int) -> None:
+        cur = self.arrays[0].shape[0]
+        if blocks <= cur:
+            return
+        grow = max(blocks, 2 * cur)
+        self.arrays = [
+            np.concatenate([a, np.zeros((grow - cur, a.shape[1]))])
+            for a in self.arrays
+        ]
+
+    def __iter__(self):
+        return iter(self.arrays)
+
+
 def mc_bin_site(
     shared, notshared, shared_emp, notshared_emp,
     blk: int, ab: float, ae: float, ws: float, wn: float,

@@ -192,6 +192,12 @@ def join_vcf_split(
 
         if mc_hists is not None:
             # ---- sequential replay: chooses interleave with age draws ----
+            if hasattr(mc_hists, "ensure") and pos.size:
+                mc_hists.ensure(
+                    block_offset
+                    + int(max((int(pos.max()) - 1) // NUM_BASES_PER_BLOCK, 0))
+                    + 1
+                )
             shared, notshared, shared_emp, notshared_emp = mc_hists
             interesting = np.nonzero(draws | absent_cand)[0]
             last_blk = 0

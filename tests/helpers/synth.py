@@ -30,8 +30,16 @@ def make_mut(
     seed: int,
     chrom_span: int = 70_000_000,
     dirty: bool = True,
+    top_bin_frac: float = 0.0,
 ) -> MutTable:
-    """Write a synthetic .mut with n rows; returns the table."""
+    """Write a synthetic .mut with n rows; returns the table.
+
+    ``top_bin_frac`` > 0 gives that fraction of rows age_begin == 0 and
+    age_end inside the LAST age bin (bin 184: age in ~[8.44e6, 9.33e6)
+    generations) so the emp-F redistribution carries mass in the top bin
+    — the regime where the reference's width-scaling loop leaves
+    F[num_age_bins-1] unscaled (coal.cpp:3420-3426).
+    """
     g = np.random.default_rng(seed)
     pos = np.sort(g.choice(np.arange(1, chrom_span), size=n, replace=False))
     dist = np.diff(np.append(pos, chrom_span)).astype(np.int64)
@@ -41,6 +49,10 @@ def make_mut(
     # ~20% of rows have age_begin == 0 (routes into the emp matrices)
     zero_mask = g.random(n) < 0.2
     age_begin[zero_mask] = 0.0
+    if top_bin_frac > 0.0:
+        top = g.random(n) < top_bin_frac
+        age_end[top] = g.uniform(8.6e6, 9.2e6, int(top.sum()))
+        age_begin[top] = 0.0
     bases = np.array(list("ACGT"))
     anc = bases[g.integers(0, 4, n)]
     shift = g.integers(1, 4, n)
@@ -133,6 +145,7 @@ def make_fixture(
     n_hap_target: int = 2,
     n_hap_ref: int = 20,
     dirty: bool = True,
+    top_bin_frac: float = 0.0,
 ):
     """Standard tmptmp fixture; returns dict of paths."""
     os.makedirs(root, exist_ok=True)
@@ -144,6 +157,7 @@ def make_fixture(
                 n_per_chrom,
                 seed + 13 * i,
                 dirty=dirty,
+                top_bin_frac=top_bin_frac,
             )
         )
     tgt = os.path.join(root, "target.colate.in")

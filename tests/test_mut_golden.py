@@ -65,6 +65,36 @@ def test_mut_tmptmp_parity_bootstrap(oracle, fixture_small, tmp_path):
 
 
 @pytest.mark.oracle
+def test_mut_emp_top_bin_parity(oracle, tmp_path):
+    """Emp-F redistribution with mass banked in the LAST age bin.
+
+    The reference's width-scaling loop (coal.cpp:3420-3426) leaves
+    F[num_age_bins-1] unscaled and its first write (F[-1] for modern
+    samples) lands out of bounds; a Python wrap-around emulation would
+    instead scale and sign-flip the last bin.  This fixture forces
+    age_begin==0 mutations whose age_end lies in bin 184, so any
+    divergence in that bin's handling shows up in the .coal rates.
+    """
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(
+        str(tmp_path / "fix"), n_per_chrom=1500, seed=31, top_bin_frac=0.15
+    )
+    run_oracle_mut(fix, str(tmp_path / "ref_out"), seed=3, num_bootstraps=3)
+    cfg = _cfg(
+        fix,
+        str(tmp_path / "our_out"),
+        seed=3,
+        num_bootstrap=3,
+        sampling="mc_parity",
+    )
+    run_mut_and_write(cfg)
+    _compare_coal(
+        str(tmp_path / "ref_out.coal"), str(tmp_path / "our_out.coal"), rtol=1e-5
+    )
+
+
+@pytest.mark.oracle
 def test_mut_analytic_close_to_reference(oracle, fixture_small, tmp_path):
     """The analytic expected-histogram mode must agree with the reference
     within MC sampling noise on informative epochs."""

@@ -165,6 +165,38 @@ def test_populate_device_ancient_samples(tmp_path):
     np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-12, atol=1e-300)
 
 
+def test_populate_device_zero_branch_lengths(tmp_path):
+    """A coalescence at age exactly 0 (zero branch lengths) belongs to
+    epoch 0 on both backends — the device kernel must not drop events at
+    the epochs[0] boundary (ADVICE r2)."""
+    pytest.importorskip("jax")
+    from colate_tpu.formats.mut import MutTable
+    from colate_tpu.models.tree_coal import (
+        accumulate_tree_stats,
+        epochs_from_bins_tree,
+    )
+    from helpers.synth_anc import make_anc_mut
+
+    prefix = str(tmp_path / "zb")
+    make_anc_mut(prefix, "1", N=6, num_trees=9, seed=5)
+    anc = AncFile.read(prefix + "_chr1.anc")
+    # zero out every branch length in a few trees: all internal nodes
+    # coalesce at age exactly 0
+    anc.branch_length[::3] = 0.0
+    mut = MutTable.read(prefix + "_chr1.mut")
+    epochs = epochs_from_bins_tree("1,6,0.4", 28.0)
+    E = epochs.shape[0]
+    outs = []
+    for backend in ("numpy", "device"):
+        num = np.zeros((2, E)); den = np.zeros((2, E))
+        accumulate_tree_stats(anc, mut, epochs, 0, num, den, backend=backend)
+        outs.append((num, den))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-12, atol=1e-300)
+    # the zero-age coalescences must actually land in epoch 0
+    assert outs[0][0][:, 0].sum() > 0
+
+
 @pytest.mark.oracle
 def test_tree_mode_golden_device_backend(anc_fixture, tmp_path, monkeypatch):
     """Whole tree mode with the device kernel forced on must stay within
