@@ -225,6 +225,124 @@ def _ancient_pair_accumulate(
         num[ep_start, ep, g] += factor * mult
 
 
+def _map_recrates(ps_arr, pe_arr, has, gmap) -> np.ndarray:
+    """Per-tree average recombination rate, reference cursor semantics
+    (coal.cpp:5333-5385): one monotone segment index shared across the
+    chromosome's trees; quirks replicated exactly — when the whole
+    window sits inside one segment the rate is scaled by the distance to
+    the segment END (not the window width), and a window crossing a full
+    interior segment adds that segment's total gen-length unscaled."""
+    bp = gmap.bp
+    gp = gmap.gen_pos
+    nseg = int(bp.size)
+    index = 0
+    out = np.full(ps_arr.shape[0], 1000.0)
+    for t in range(ps_arr.shape[0]):
+        if not has[t]:
+            continue  # treeless: factor 0, value irrelevant
+        pos_start = int(ps_arr[t])
+        pos_end = int(pe_arr[t])
+        recrate = 1000.0
+        if index < nseg - 1:
+            while index + 1 < nseg and pos_start > bp[index + 1]:
+                index += 1
+                if index + 2 == nseg:
+                    break
+            if index + 1 >= nseg:
+                # the reference reads past recmap.bp here (UB,
+                # coal.cpp:5358-5381); a map should cover the windows
+                raise ValueError(
+                    "recombination map ends before the tree windows "
+                    f"(pos_start={pos_start} > last map point {bp[-1]})"
+                )
+            recrate = (gp[index + 1] - gp[index]) / (bp[index + 1] - bp[index]) * 1e6
+            if index < nseg - 1:
+                lower = pos_start
+                recrate *= bp[index + 1] - lower
+                while pos_end > bp[index + 1]:
+                    index += 1
+                    if index + 1 >= nseg:
+                        raise ValueError(
+                            "recombination map ends before the tree windows "
+                            f"(pos_end={pos_end} > last map point {bp[-1]})"
+                        )
+                    lower = bp[index]
+                    if pos_end > bp[index + 1]:
+                        recrate += (gp[index + 1] - gp[index]) * 1e6
+                    else:
+                        recrate += (
+                            (gp[index + 1] - gp[index])
+                            / (bp[index + 1] - bp[index])
+                            * 1e6
+                            * (pos_end - lower)
+                        )
+                    if index + 2 == nseg:
+                        break
+                recrate /= pos_end - pos_start
+        out[t] = recrate
+    return out
+
+
+def _cond_chrom_native(
+    anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal, cond,
+    cond_empty, goh, G, epochs, epochs_focal, blocks_num, blocks_denom,
+    sample_ages,
+) -> bool:
+    """Run one chromosome through native/cond.cpp; returns False when the
+    native library is unavailable (Python fallback used instead).
+
+    The stale-tree -1.0 extra pass (reference loop quirk) is appended as
+    a (T+1)-th tree so its float32 adds land after all real trees, in
+    reference order."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return False
+    T = anc.num_trees
+    N = anc.n_hap
+    M = 2 * N - 1
+    F_ep = epochs_focal.shape[0]
+    E = epochs.shape[0]
+
+    factors = spans.astype(np.float32).copy()
+    factors[pass_frac < cutoff] = np.nan
+    parent = np.ascontiguousarray(anc.parent, np.int32)
+    blen = np.ascontiguousarray(anc.branch_length, np.float64)
+    tb = np.ascontiguousarray(tree_blocks, np.int32)
+    if not np.isnan(factors[T - 1]):
+        factors = np.append(factors, np.float32(-1.0))
+        parent = np.concatenate([parent, parent[T - 1 :]])
+        blen = np.concatenate([blen, blen[T - 1 :]])
+        tb = np.append(tb, tb[T - 1])
+    nb = int(tree_blocks.max()) + 1
+    buf_n = np.zeros((nb, F_ep, E, G), np.float32)
+    buf_d = np.zeros_like(buf_n)
+    fo = np.ascontiguousarray(focal, np.int32)
+    co = np.ascontiguousarray(
+        np.array([-1], np.int32) if cond_empty else cond.astype(np.int32)
+    )
+    gh = np.ascontiguousarray(goh, np.int32)
+    ep32 = np.ascontiguousarray(np.float32(epochs))
+    epf32 = np.ascontiguousarray(np.float32(epochs_focal))
+    sa_p = None
+    if sample_ages is not None:
+        sa_arr = np.ascontiguousarray(sample_ages, np.float64)
+        sa_p = sa_arr.ctypes.data
+    p = lambda a: ctypes.c_void_p(a.ctypes.data)
+    lib.cn_cond_chrom(
+        int(factors.shape[0]), M, N, p(parent), p(blen), p(factors), p(tb),
+        p(fo), fo.size, p(co), co.size, p(gh), G, p(ep32), E, p(epf32), F_ep,
+        ctypes.c_void_p(sa_p), p(buf_n), p(buf_d),
+    )
+    for k in range(chr_bin, nb):
+        blocks_num[k] = buf_n[k]
+        blocks_denom[k] = buf_d[k]
+    return True
+
+
 def run_cond_coal(args) -> int:
     if not args.input or not args.output or not args.poplabels or not args.groups:
         print("Needed: input, output, poplabels, groups.", file=sys.stderr)
@@ -262,7 +380,13 @@ def run_cond_coal(args) -> int:
     blocks_num: list[np.ndarray] = []
     blocks_denom: list[np.ndarray] = []
     chr_bin = 0
-    cutoff = args.mask_cutoff if args.mask_cutoff is not None else 0.9
+    # the reference parses --mask_cutoff but CondCoalRates reads the
+    # never-registered "cutoff" option (coal.cpp:5237 vs Colate.cpp:30),
+    # so the effective cutoff is ALWAYS the 0.9 default — replicated;
+    # COLATE_TPU_MASK_CUTOFF overrides as an engine extension
+    import os as _os
+
+    cutoff = float(_os.environ.get("COLATE_TPU_MASK_CUTOFF", 0.9))
     for c in chroms:
         base = args.input if c == "NA" else f"{args.input}_chr{c}"
         anc = AncFile.read(base + ".anc")
@@ -293,58 +417,87 @@ def run_cond_coal(args) -> int:
         if sample_ages is not None and not np.any(np.asarray(sample_ages) > 0):
             sample_ages = None
 
-        # tree -> 30Mb block by first-SNP position
-        first_pos = np.zeros(T, np.int64)
-        row = 0
+        # tree -> 30Mb block by first-SNP position; mut.tree is
+        # nondecreasing, so per-tree row ranges are two searchsorteds —
+        # no per-tree rescans (O(T+rows) total)
         n = len(mut)
-        for t in range(T):
-            while row < n and mut.tree[row] < t:
-                row += 1
-            first_pos[t] = mut.pos[min(row, n - 1)] if n else 0
+        tree_arr = mut.tree
+        row_lo = np.searchsorted(tree_arr, np.arange(T), side="left")
+        row_hi = np.searchsorted(tree_arr, np.arange(T), side="right")
+        if n:
+            first_pos = mut.pos[np.minimum(row_lo, n - 1)].astype(np.int64)
+        else:
+            first_pos = np.zeros(T, np.int64)
         tree_blocks = (first_pos // BIN_SIZE).astype(np.int64) + chr_bin
         max_blk = int(tree_blocks.max()) if T else chr_bin
         while len(blocks_num) <= max_blk:
             blocks_num.append(np.zeros((F_ep, E, G)))
             blocks_denom.append(np.zeros((F_ep, E, G)))
 
-        def passing_fraction(t: int) -> float:
-            if mask is None and gmap is None:
-                return 1.0
-            # tree window [pos_start, pos_end) from mut-row midpoints
-            rows_t = np.nonzero(mut.tree == t)[0]
-            if rows_t.size == 0:
-                return 1.0
-            i0, i1 = rows_t[0], rows_t[-1]
-            ps = int(mut.pos[i0])
-            if i0 > 0:
-                ps = int(round((ps + int(mut.pos[i0 - 1])) / 2))
-            pe = ps + 1
-            if i1 + 1 < n:
-                pe = int(round((int(mut.pos[i1 + 1]) + int(mut.pos[i1])) / 2))
-            if pe <= ps:
-                pe = ps + 1
-            frac = 1.0
+        # mask / recomb-map passing fraction for every tree in one pass.
+        # Window semantics (coal.cpp:5296-5321): ps = first-row pos,
+        # averaged with the previous row by C++ INTEGER division when one
+        # exists; pe = (next tree's first-row pos + this tree's last-row
+        # pos) // 2, or ((ps+1) + last-row pos) // 2 for the final tree.
+        pass_frac = np.ones(T)
+        if (mask is not None or gmap is not None) and n and T:
+            has = row_lo < row_hi
+            i0 = np.minimum(row_lo, n - 1)
+            i1 = np.minimum(np.maximum(row_hi - 1, 0), n - 1)
+            pos64 = mut.pos.astype(np.int64)
+            ps = pos64[i0]
+            ps = np.where(
+                i0 > 0, (ps + pos64[np.maximum(i0 - 1, 0)]) // 2, ps
+            )
+            pe_raw = np.where(i1 + 1 < n, pos64[np.minimum(i1 + 1, n - 1)], ps + 1)
+            pe = (pe_raw + pos64[i1]) // 2
+            pe = np.maximum(pe, ps + 1)
             if mask is not None:
-                win = mask[ps:pe]
-                frac = float(np.count_nonzero(win == ord("P"))) / (pe - ps)
+                pcum = np.concatenate([[0], np.cumsum(mask == ord("P"))])
+                L = mask.shape[0]
+                a = np.clip(ps, 0, L)
+                b = np.clip(pe, 0, L)
+                pass_frac = np.where(
+                    has, (pcum[b] - pcum[a]) / (pe - ps), 1.0
+                )
             if gmap is not None and gmap.bp.size > 1:
-                gp = np.interp([ps, pe], gmap.bp, gmap.gen_pos)
-                rate = (gp[1] - gp[0]) / (pe - ps) * 1e6
-                if rate > 0.1:
-                    frac = 0.0
-            return frac
+                rec = _map_recrates(ps, pe, has, gmap)
+                pass_frac = np.where(has & (rec > 0.1), 0.0, pass_frac)
 
-        def process(t: int, factor: float):
-            blk = int(tree_blocks[t])
-            C = np.zeros((M, G))
-            C[:N] = onehot
-            cond_cnt = np.zeros(M)
-            cond_cnt[:N] = cond_onehot
+        # native kernel: bit-exact f32 accumulation in the reference's
+        # scalar order (native/cond.cpp) at C++ speed — required to match
+        # the binary at scale, where float32 rounding over millions of
+        # adds is part of the observable output
+        if T and _cond_chrom_native(
+            anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal,
+            cond, cond_empty, goh, G, epochs, epochs_focal,
+            blocks_num, blocks_denom, sample_ages,
+        ):
+            chr_bin = max_blk + 1
+            continue
+
+        _CHUNK = 512  # trees per batched subtree-count pass
+
+        def subtree_counts_chunk(tsel: np.ndarray):
+            """[S, M, G] group counts + [S, M] conditional-hap counts for
+            a chunk of trees — one ascending-index pass over M for the
+            whole chunk instead of a per-tree Python loop."""
+            S = tsel.shape[0]
+            C = np.zeros((S, M, G))
+            C[:, :N] = onehot[None]
+            cc = np.zeros((S, M))
+            cc[:, :N] = cond_onehot[None]
+            rows_i = np.arange(S)
+            par = anc.parent[tsel]
             for j in range(M - 1):
-                p = anc.parent[t, j]
-                if p >= 0:
-                    C[p] += C[j]
-                    cond_cnt[p] += cond_cnt[j]
+                p = par[:, j]
+                v = p >= 0
+                np.add.at(C, (rows_i[v], p[v]), C[v, j])
+                np.add.at(cc, (rows_i[v], p[v]), cc[v, j])
+            return C, cc
+
+        def process(t: int, factor: float, C: np.ndarray, cond_cnt: np.ndarray):
+            blk = int(tree_blocks[t])
             cond_rates_tree(
                 anc.branch_length[t], ch[t], anc.parent[t], C, cond_cnt,
                 focal, cond_empty, factor, epochs, epochs_focal,
@@ -358,16 +511,19 @@ def run_cond_coal(args) -> int:
                 group_of_hap=goh,
             )
 
-        last_t = None
-        for t in range(T):
-            if passing_fraction(t) >= cutoff:
-                process(t, float(spans[t]))
-                last_t = t
-            else:
-                last_t = t  # phantom pass reuses the stale tree regardless
+        last_t = T - 1 if T else None
+        for c0 in range(0, T, _CHUNK):
+            tsel = np.arange(c0, min(c0 + _CHUNK, T))
+            passing = tsel[pass_frac[tsel] >= cutoff]
+            if passing.size == 0:
+                continue
+            Cc, ccc = subtree_counts_chunk(passing)
+            for s, t in enumerate(passing):
+                process(int(t), float(spans[t]), Cc[s], ccc[s])
         # reference loop-structure quirk: one extra pass with factor = -1
-        if last_t is not None and passing_fraction(last_t) >= cutoff:
-            process(last_t, -1.0)
+        if last_t is not None and pass_frac[last_t] >= cutoff:
+            Cc, ccc = subtree_counts_chunk(np.array([last_t]))
+            process(int(last_t), -1.0, Cc[0], ccc[0])
         chr_bin = max_blk + 1
 
     num_blocks = len(blocks_num)
@@ -380,8 +536,15 @@ def run_cond_coal(args) -> int:
             else:
                 w = np.zeros(num_blocks)
                 np.add.at(w, rng.uniform_int(0, num_blocks - 1, num_blocks), 1.0)
-            res_num = sum(w[k] * blocks_num[k] for k in range(num_blocks))
-            res_den = sum(w[k] * blocks_denom[k] for k in range(num_blocks))
+            # block reduce + divide in float32, sequential block order —
+            # matching the reference's res_num accumulation
+            # (coal.cpp:5540-5556, CollapsedMatrix<float>)
+            res_num = np.zeros((F_ep, E, G), np.float32)
+            res_den = np.zeros((F_ep, E, G), np.float32)
+            for k in range(num_blocks):
+                wk = np.float32(w[k])
+                res_num += wk * blocks_num[k].astype(np.float32)
+                res_den += wk * blocks_denom[k].astype(np.float32)
             with np.errstate(divide="ignore", invalid="ignore"):
                 rates = res_num / res_den
             for e1 in range(F_ep):

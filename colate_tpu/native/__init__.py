@@ -22,7 +22,7 @@ _lib = None
 _tried = False
 
 
-_SOURCES = ("io.cpp", "em.cpp", "hts.cpp")
+_SOURCES = ("io.cpp", "em.cpp", "hts.cpp", "cond.cpp")
 
 
 def _build() -> bool:
@@ -138,6 +138,15 @@ def load():
         + [ctypes.c_int, ctypes.c_int]       # max_iter, min_iter
         + [ctypes.c_double, ctypes.c_double] # conv_ratio, rate_floor
         + [P, P, P]                          # out rates, logl, iters
+    )
+    lib.cn_cond_chrom.restype = None
+    lib.cn_cond_chrom.argtypes = (
+        [ctypes.c_int64] * 3                 # T, M, N
+        + [P, P, P, P]                       # parent, blen, factors, blocks
+        + [P, ctypes.c_int64, P, ctypes.c_int64]  # focal, n, cond, n
+        + [P, ctypes.c_int64]                # group_of_hap, G
+        + [P, ctypes.c_int64, P, ctypes.c_int64]  # epochs E, epochs_focal F
+        + [P, P, P]                          # sample_ages|NULL, num, denom
     )
     lib.cn_bam_open.restype = ctypes.c_void_p
     lib.cn_bam_open.argtypes = [

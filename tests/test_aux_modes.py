@@ -95,6 +95,196 @@ def cond_fixture(tmp_path_factory):
     return dict(prefix=prefix, chrfile=chrfile, pop=pop)
 
 
+def _cond_args(prefix, chrfile, pop, out, groups="FOC,CON", boots=1):
+    class Args:
+        input = prefix
+        chr_file = chrfile
+        poplabels = pop
+        bins = "2,6,0.5"
+        years_per_gen = None
+        lineage_bin = None
+        num_bootstraps = boots
+        seed = 7
+        mask = None
+        mask_cutoff = None
+        map = None
+        coal = None
+        output = out
+
+    Args.groups = groups
+    return Args
+
+
+@pytest.mark.oracle
+def test_cond_coal_rates_byte_parity_at_scale(tmp_path):
+    """3000 trees, bootstrap: the native kernel's float32 accumulation
+    order must reproduce the binary BYTE-FOR-BYTE (the f32 rounding
+    pattern over millions of scalar adds is observable output)."""
+    from colate_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native kernel unavailable")
+    root = str(tmp_path)
+    prefix = os.path.join(root, "trees")
+    make_anc_mut(prefix, "1", N=14, num_trees=3000, snps_per_tree=3, seed=9)
+    chrfile = os.path.join(root, "chr.txt")
+    with open(chrfile, "w") as fh:
+        fh.write("1\n")
+    pop = os.path.join(root, "pop.poplabels")
+    with open(pop, "w") as fh:
+        fh.write("sample population group sex\n")
+        for i in range(7):
+            fh.write(f"S{i} {'FOC' if i < 2 else 'CON' if i < 4 else 'OTH'} G1 NA\n")
+    ref_out = os.path.join(root, "ref.txt")
+    subprocess.run(
+        [REF_COLATE, "--mode", "CondCoalRates", "-i", prefix, "--chr", chrfile,
+         "--poplabels", pop, "--groups", "FOC,CON", "--bins", "2,6,0.5",
+         "--seed", "7", "--num_bootstraps", "4", "-o", ref_out],
+        check=True, capture_output=True, timeout=300,
+    )
+    from colate_tpu.models.cond_coal import run_cond_coal
+
+    out = os.path.join(root, "our.txt")
+    run_cond_coal(_cond_args(prefix, chrfile, pop, out, boots=4))
+    with open(ref_out) as fh:
+        ref = fh.read()
+    with open(out) as fh:
+        ours = fh.read()
+    assert ref == ours
+
+
+@pytest.mark.oracle
+def test_cond_coal_rates_ancient_golden(tmp_path):
+    """Nonzero sample ages route through the per-pair truncation variant
+    (coal.cpp:4885-4999) — byte parity with the binary."""
+    from colate_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native kernel unavailable")
+    root = str(tmp_path)
+    prefix = os.path.join(root, "trees")
+    ages = [0.0, 40.0, 0.0, 125.0, 0.0, 0.0, 7.5, 0.0, 0.0, 310.0, 0.0, 0.0]
+    make_anc_mut(prefix, "1", N=12, num_trees=400, seed=23, sample_ages=ages)
+    chrfile = os.path.join(root, "chr.txt")
+    with open(chrfile, "w") as fh:
+        fh.write("1\n")
+    pop = os.path.join(root, "pop.poplabels")
+    with open(pop, "w") as fh:
+        fh.write("sample population group sex\n")
+        for i in range(6):
+            fh.write(f"S{i} {'FOC' if i < 2 else 'CON' if i < 4 else 'OTH'} G1 NA\n")
+    ref_out = os.path.join(root, "ref.txt")
+    subprocess.run(
+        [REF_COLATE, "--mode", "CondCoalRates", "-i", prefix, "--chr", chrfile,
+         "--poplabels", pop, "--groups", "FOC,CON", "--bins", "2,6,0.5",
+         "--seed", "7", "-o", ref_out],
+        check=True, capture_output=True, timeout=300,
+    )
+    from colate_tpu.models.cond_coal import run_cond_coal
+
+    out = os.path.join(root, "our.txt")
+    run_cond_coal(_cond_args(prefix, chrfile, pop, out))
+    with open(ref_out) as fh:
+        ref = fh.read()
+    with open(out) as fh:
+        ours = fh.read()
+    assert ref == ours
+
+
+@pytest.mark.oracle
+def test_cond_coal_rates_mask_map_golden(cond_fixture, tmp_path):
+    """Mask passing-fraction + genetic-map recrate filters against the
+    reference binary (coal.cpp:5296-5385 window + cursor semantics)."""
+    import numpy as np
+
+    from colate_tpu.formats.mut import MutTable
+
+    root = str(tmp_path)
+    g = np.random.default_rng(5)
+    mask_prefix = os.path.join(root, "mask")
+    map_prefix = os.path.join(root, "map")
+    for c in ["1", "2"]:
+        # mask must cover every window position (the binary reads
+        # mask.seq[pos] unchecked); ~60% P with N patches
+        mt = MutTable.read(cond_fixture["prefix"] + f"_chr{c}.mut")
+        L = int(mt.pos[-1]) + 10_000
+        # the effective cutoff is the hardcoded 0.9 (the binary ignores
+        # --mask_cutoff in this mode); ~95% P puts windows on both sides
+        seq = np.where(g.random(L) < 0.95, ord("P"), ord("N")).astype(np.uint8)
+        with open(f"{mask_prefix}_chr{c}.fa", "w") as fh:
+            fh.write(">mask\n" + bytes(seq).decode() + "\n")
+        # map with varied rates so some windows exceed the 0.1 cutoff;
+        # the final point must cover every window (past it the binary's
+        # cursor walk reads out of bounds — genuine UB, untestable)
+        bps = np.sort(g.choice(np.arange(1, L - 1), size=11, replace=False))
+        bps = np.append(bps, L)
+        # mostly cold map with a few hot segments above the 0.1 cM/Mb cutoff
+        rates = np.where(
+            g.random(bps.size) < 0.3,
+            g.uniform(0.5, 3.0, bps.size),
+            g.uniform(0.0, 0.05, bps.size),
+        )
+        gen = np.concatenate([[0.0], np.cumsum(rates[:-1] * np.diff(bps) / 1e6)])
+        with open(f"{map_prefix}_chr{c}.txt", "w") as fh:
+            fh.write("pos COMBINED_rate Genetic_Map\n")
+            for b, r, gn in zip(bps, rates, gen):
+                fh.write(f"{b} {r} {gn}\n")
+
+    ref_out = str(tmp_path / "ref_maskmap.txt")
+    subprocess.run(
+        [
+            REF_COLATE, "--mode", "CondCoalRates",
+            "-i", cond_fixture["prefix"],
+            "--chr", cond_fixture["chrfile"],
+            "--poplabels", cond_fixture["pop"],
+            "--groups", "FOC,CON",
+            "--bins", "2,6,0.5",
+            "--mask", mask_prefix,
+            "--map", map_prefix,
+            "--seed", "7",
+            "-o", ref_out,
+        ],
+        check=True, capture_output=True, timeout=300,
+    )
+
+    class Args:
+        input = cond_fixture["prefix"]
+        chr_file = cond_fixture["chrfile"]
+        poplabels = cond_fixture["pop"]
+        groups = "FOC,CON"
+        bins = "2,6,0.5"
+        years_per_gen = None
+        lineage_bin = None
+        num_bootstraps = 1
+        seed = 7
+        mask = mask_prefix
+        mask_cutoff = None
+        map = map_prefix
+        coal = None
+        output = str(tmp_path / "our_maskmap.txt")
+
+    from colate_tpu.models.cond_coal import run_cond_coal
+
+    run_cond_coal(Args())
+    with open(ref_out) as fh:
+        ref_lines = fh.read().splitlines()
+    with open(Args.output) as fh:
+        our_lines = fh.read().splitlines()
+    assert len(ref_lines) == len(our_lines)
+    n_rates = 0
+    for r, o in zip(ref_lines[1:], our_lines[1:]):
+        rp, op = r.split(), o.split()
+        assert rp[:4] == op[:4], (r, o)
+        if rp[4] not in ("nan", "-nan"):
+            # %g prints 6 significant digits: a last-digit flip is
+            # ~1e-6 relative on top of the true difference
+            assert abs(float(rp[4]) - float(op[4])) <= 5e-6 * max(
+                abs(float(rp[4])), 1e-30
+            ), (r, o)
+            n_rates += 1
+    assert n_rates > 10  # filters must not have removed everything
+
+
 @pytest.mark.oracle
 @pytest.mark.parametrize("groups", ["FOC,CON", "FOC,NONEXIST"])
 def test_cond_coal_rates_golden(cond_fixture, tmp_path, groups):
