@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import subprocess
 import sys
 import time
@@ -34,11 +35,19 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# a silent Python fallback must not masquerade as an engine regression:
+# every benched path requires the native library (VERDICT r2 #8)
+os.environ.setdefault("COLATE_NATIVE_REQUIRED", "1")
+
 BENCH_DIR = "/tmp/colate_bench"
+WG_DIR = "/tmp/colate_bench_wg"
 BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
 N_CHROMS = 4
 N_PER_CHROM = 300_000
 SEED = 1234
+WG_CHROMS = 22
+WG_PER_CHROM = 2_250_000  # ~22M accepted sites after filters
+WG_BOOTSTRAPS = 1024
 
 
 def log(msg: str) -> None:
@@ -226,17 +235,25 @@ def bench_em_batched(fix, details: dict, oracle: str | None) -> None:
             dt = time.time() - t0
             t_dev = dt if t_dev is None else min(t_dev, dt)
         r_d = np.asarray(out[0])
-        meaningful = r_h > 1e-8
-        relerr = float(
-            np.max(np.abs(r_d - r_h)[meaningful] / r_h[meaningful])
-        )
+        # tiered accuracy (tests/test_em_f32.py contract): identified
+        # rates are tight; near-floor rates are mid-transient artifacts
+        # of the stopping rule and carry no statistical signal
+        m_id = r_h >= 1e-4
+        m_weak = r_h >= 1e-6
+        rel = np.abs(r_d - r_h) / np.maximum(r_h, 1e-300)
         details[f"em_B{B}"] = {
             "host_native_s": round(t_host, 3),
             "device_f32_warm_s": round(t_dev, 4),
             "device_f32_cold_s": round(t_cold, 2),
             "device_speedup_warm": round(t_host / t_dev, 1),
-            "f32_vs_f64_max_relerr": round(relerr, 5),
+            "f32_relerr_rates_ge_1e4": round(float(rel[m_id].max()), 8)
+            if m_id.any()
+            else None,
+            "f32_relerr_rates_ge_1e6": round(float(rel[m_weak].max()), 6)
+            if m_weak.any()
+            else None,
         }
+        relerr = float(rel[m_weak].max()) if m_weak.any() else 0.0
         log(
             f"EM B={B}: host {t_host:.2f}s, device warm {t_dev:.3f}s "
             f"({t_host / t_dev:.0f}x), cold {t_cold:.1f}s, "
@@ -334,6 +351,149 @@ def bench_binning(details: dict) -> None:
     )
 
 
+def ensure_wg_fixture():
+    """22-chromosome whole-genome-scale tmptmp fixture (~19M accepted
+    sites), cached across bench runs."""
+    from helpers.synth import make_fixture
+
+    marker = os.path.join(WG_DIR, "ready.json")
+    chroms = [str(i + 1) for i in range(WG_CHROMS)]
+    fix = dict(
+        root=WG_DIR,
+        chroms=chroms,
+        mut_prefix=os.path.join(WG_DIR, "synth"),
+        target=os.path.join(WG_DIR, "target.colate.in"),
+        reference=os.path.join(WG_DIR, "ref.colate.in"),
+        chrfile=os.path.join(WG_DIR, "chr.txt"),
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("n") == WG_PER_CHROM and meta.get("chroms") == chroms:
+            log("whole-genome fixture cached")
+            return fix
+    log(f"generating whole-genome fixture ({WG_CHROMS}x{WG_PER_CHROM} rows)...")
+    t0 = time.time()
+    make_fixture(
+        WG_DIR, chroms=tuple(chroms), n_per_chrom=WG_PER_CHROM, seed=SEED
+    )
+    with open(marker, "w") as fh:
+        json.dump({"n": WG_PER_CHROM, "chroms": chroms}, fh)
+    log(f"whole-genome fixture generated in {time.time() - t0:.1f}s")
+    return fix
+
+
+def bench_whole_genome(fix, details: dict, oracle: str | None) -> None:
+    """End-to-end mode mut at whole-genome scale, B=1024 bootstraps —
+    the workload where the winning path executes ON THE CHIP.
+
+    One process, three runs over identical inputs:
+    - device: em_dtype=float32 -> batched [1024,185,E] device EM
+      (first run carries the XLA compile; the repeat run shows the
+      production server / repeated-invocation cost);
+    - host: EM forced to the native sequential provider;
+    - reference binary, measured at B=128 and extrapolated linearly to
+      1024 (its bootstrap EMs are strictly sequential, coal.cpp:3675).
+    """
+    import numpy as np
+
+    from colate_tpu.config import MutRunConfig
+    from colate_tpu.models.mut_em import run_mut_and_write
+    from colate_tpu import config as _cfg
+
+    def run(tag, em_dtype, host_max_b):
+        old = _cfg.EM_HOST_MAX_B
+        _cfg.EM_HOST_MAX_B = host_max_b
+        try:
+            cfg = MutRunConfig(
+                mut=fix["mut_prefix"],
+                output=os.path.join(WG_DIR, f"wg_{tag}"),
+                chr_list=fix["chroms"],
+                target_tmp=fix["target"],
+                reference_tmp=fix["reference"],
+                bins="3,7,0.2",
+                seed=1,
+                num_bootstrap=WG_BOOTSTRAPS,
+                sampling="analytic",
+                em_dtype=em_dtype,
+            )
+            t0 = time.time()
+            res = run_mut_and_write(cfg)
+            dt = time.time() - t0
+        finally:
+            _cfg.EM_HOST_MAX_B = old
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        return dt, res, rss
+
+    t_dev_cold, res, _ = run("dev_cold", "float32", 0)
+    t_dev, res, rss_dev = run("dev", "float32", 0)
+    t_host, res_h, rss_host = run("host", "auto", 10**9)
+    np.testing.assert_allclose(  # device result must agree on real rates
+        np.asarray(res.rates)[np.asarray(res_h.rates) > 1e-4],
+        np.asarray(res_h.rates)[np.asarray(res_h.rates) > 1e-4],
+        rtol=1e-3,
+    )
+    entry = {
+        "chroms": WG_CHROMS,
+        "num_sites": res.num_sites,
+        "num_bootstraps": WG_BOOTSTRAPS,
+        "device_total_s": round(t_dev, 2),
+        "device_total_cold_s": round(t_dev_cold, 2),
+        "device_sites_per_sec": round(res.num_sites / t_dev, -3),
+        "device_stages": {k: round(v, 2) for k, v in res.timings.items()},
+        "host_total_s": round(t_host, 2),
+        "host_stages": {k: round(v, 2) for k, v in res_h.timings.items()},
+        "max_rss_mb": round(max(rss_dev, rss_host), 1),
+        "winner": "device" if t_dev < t_host else "host",
+        "f32_vs_f64_rate_relerr_identified": float(
+            np.max(
+                np.abs(np.asarray(res.rates) - np.asarray(res_h.rates))[
+                    np.asarray(res_h.rates) > 1e-4
+                ]
+                / np.asarray(res_h.rates)[np.asarray(res_h.rates) > 1e-4]
+            )
+        ),
+    }
+    log(
+        f"whole genome B={WG_BOOTSTRAPS}: device {t_dev:.1f}s (cold "
+        f"{t_dev_cold:.1f}s), host {t_host:.1f}s, sites={res.num_sites}"
+    )
+
+    if oracle is not None:
+        out = os.path.join(WG_DIR, "wg_ref")
+        for f in (out + ".coal", out + ".colate_mat"):
+            if os.path.exists(f):
+                os.remove(f)
+        cmd = [
+            oracle, "--mode", "mut",
+            "--mut", fix["mut_prefix"],
+            "--target_tmp", fix["target"],
+            "--reference_tmp", fix["reference"],
+            "--chr", fix["chrfile"],
+            "--bins", "3,7,0.2",
+            "--seed", "1",
+            "--num_bootstraps", "128",
+            "-o", out,
+        ]
+        try:
+            t0 = time.time()
+            subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
+            ref_128 = time.time() - t0
+            # parse stage is B-independent; EM scales linearly in B
+            ref_1024_est = ref_128 * (WG_BOOTSTRAPS / 128)
+            entry["reference_B128_s"] = round(ref_128, 1)
+            entry["reference_B1024_est_s"] = round(ref_1024_est, 1)
+            entry["device_vs_reference_est"] = round(ref_1024_est / t_dev, 1)
+            log(
+                f"whole genome reference B=128: {ref_128:.1f}s "
+                f"(B=1024 linear est {ref_1024_est:.0f}s -> device "
+                f"{ref_1024_est / t_dev:.0f}x)"
+            )
+        except Exception as e:
+            log(f"whole-genome reference run unavailable: {e}")
+    details["whole_genome_B1024"] = entry
+
+
 def main() -> None:
     fix = ensure_fixture()
     oracle = ensure_oracle()
@@ -385,6 +545,11 @@ def main() -> None:
         bench_em_batched(fix, details, oracle)
     except Exception as e:
         log(f"EM batched bench failed: {e}")
+    try:
+        wg_fix = ensure_wg_fixture()
+        bench_whole_genome(wg_fix, details, oracle)
+    except Exception as e:
+        log(f"whole-genome bench failed: {e}")
     try:
         bench_binning(details)
     except Exception as e:

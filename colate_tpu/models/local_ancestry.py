@@ -52,36 +52,30 @@ def _tree_bp_ranges(anc: AncFile, mut: MutTable):
     span 0."""
     T = anc.num_trees
     n = len(mut)
-    bp_start = np.zeros(T, np.int64)
-    bp_end = np.zeros(T, np.int64)
+    if n == 0 or T == 0:
+        return np.zeros(T, np.int64), np.zeros(T, np.int64)
     tree_of_row = mut.tree
-    pos = mut.pos
-    row = 0
-    for t in range(T):
-        if row >= n:
-            bp_start[t] = 0
-            bp_end[t] = 0
-            continue
-        i0 = row
-        bs = pos[i0]
-        if i0 > 0:
-            bs = int((bs + pos[i0 - 1]) / 2.0)
-        if tree_of_row[i0] != t:
-            # treeless tree: driver still computes from the next tree's rows
-            bp_start[t] = bs
-            bp_end[t] = bs + 1  # span==0 anyway; bp_end==bp_start -> ++
-            continue
-        while row < n and tree_of_row[row] == t:
-            row += 1
-        if row < n:
-            be = int((pos[row] + pos[row - 1]) / 2.0)
-        else:
-            be = 0  # reference reads past the array; heap holds 0 in practice
-        if be == bs:
-            be += 1
-        bp_start[t] = bs
-        bp_end[t] = be
-    return bp_start, bp_end
+    pos = mut.pos.astype(np.int64)
+    # rows are grouped by nondecreasing tree index: per-tree row ranges
+    # are two searchsorteds (no cursor loop over T)
+    row_lo = np.searchsorted(tree_of_row, np.arange(T), side="left")
+    row_hi = np.searchsorted(tree_of_row, np.arange(T), side="right")
+    i0 = np.minimum(row_lo, n - 1)
+    bs = pos[i0]
+    bs = np.where(i0 > 0, (bs + pos[np.maximum(i0 - 1, 0)]) // 2, bs)
+    has = row_lo < row_hi
+    i1 = np.minimum(np.maximum(row_hi - 1, 0), n - 1)
+    be = np.where(
+        i1 + 1 < n,
+        (pos[np.minimum(i1 + 1, n - 1)] + pos[i1]) // 2,
+        0,  # reference reads past the array; heap holds 0 in practice
+    )
+    be = np.where(be == bs, be + 1, be)
+    bp_start = np.where(row_lo >= n, 0, bs)
+    # treeless tree: driver still computes from the next tree's rows;
+    # span==0 anyway (bp_end==bp_start -> ++)
+    bp_end = np.where(row_lo >= n, 0, np.where(has, be, bs + 1))
+    return bp_start.astype(np.int64), bp_end.astype(np.int64)
 
 
 def _group_counts(parent: np.ndarray, n_hap: int, group: np.ndarray,
@@ -172,99 +166,172 @@ class CoalLA:
         )
         ancient = bool(np.any(sample_ages > 0))
 
-        # assign each tree its (possibly several) (segment, span fraction)
-        per_seg: dict[int, list[tuple[int, float]]] = {}
+        # assign each tree its (possibly several) (segment, span fraction);
+        # bp ranges are nondecreasing in tree order, so trees wholly inside
+        # the current segment form runs found by searchsorted — the Python
+        # loop only touches the ~#segments boundary-crossing trees
+        # (coal.cpp:513-564 cursor semantics preserved exactly)
+        item_t: list = []
+        item_w: list = []
+        item_s: list = []
         li = 0
         nseg = len(segments)
-        for t in range(T):
-            blk = block0 + t // BLOCK_SIZE_TREES
-            bs, be = int(bp_start[t]), int(bp_end[t])
-            sp = float(spans[t])
+        t = 0
+        while t < T:
+            bs = int(bp_start[t])
             while li < nseg - 1 and bs >= seg_bp[li + 1]:
                 li += 1
-            if li >= nseg - 1 or be <= seg_bp[li + 1]:
-                per_seg.setdefault(li, []).append((t, sp, blk))
+            if li >= nseg - 1:
+                item_t.append(np.arange(t, T))
+                item_w.append(spans[t:T].copy())
+                item_s.append(np.full(T - t, li, np.int64))
+                break
+            bound = int(seg_bp[li + 1])
+            hi = int(np.searchsorted(bp_end, bound, side="right"))
+            if hi > t:
+                # run [t, hi): every tree ends at or before the boundary
+                item_t.append(np.arange(t, hi))
+                item_w.append(spans[t:hi].copy())
+                item_s.append(np.full(hi - t, li, np.int64))
+                t = hi
                 continue
-            # split across segments (coal.cpp:513-564)
+            # tree t crosses segment boundaries (coal.cpp:513-564)
+            be = int(bp_end[t])
+            sp = float(spans[t])
             width = float(be - bs)
-            frac = sp * (seg_bp[li + 1] - bs) / width
-            per_seg.setdefault(li, []).append((t, frac, blk))
+            fr = [sp * (seg_bp[li + 1] - bs) / width]
+            sg = [li]
             li += 1
+            aborted = False
             if li + 1 == nseg and is_global_tail:
                 # the reference `break`s the TREE loop when the GLOBAL
                 # poplabels row count is reached (coal.cpp:530-533): all
                 # remaining trees of the last chromosome are dropped
+                aborted = True
+            else:
+                while li < nseg - 1 and be > seg_bp[li + 1]:
+                    fr.append(sp * (seg_bp[li + 1] - seg_bp[li]) / width)
+                    sg.append(li)
+                    li += 1
+                    if li == nseg:
+                        li -= 1
+                        break
+                # final fragment: the reference forgets the span factor
+                # here (coal.cpp:561) — replicated faithfully
+                fr.append((be - seg_bp[li]) / width)
+                sg.append(li)
+            item_t.append(np.full(len(fr), t, np.int64))
+            item_w.append(np.array(fr))
+            item_s.append(np.array(sg, np.int64))
+            if aborted:
                 break
-            while li < nseg - 1 and be > seg_bp[li + 1]:
-                frac = sp * (seg_bp[li + 1] - seg_bp[li]) / width
-                per_seg.setdefault(li, []).append((t, frac, blk))
-                li += 1
-                if li == nseg:
-                    li -= 1
-                    break
-            # final fragment: the reference forgets the span factor here
-            # (coal.cpp:561) — replicated faithfully
-            frac = (be - seg_bp[li]) / width
-            per_seg.setdefault(li, []).append((t, frac, blk))
+            t += 1
+
+        trees_all = np.concatenate(item_t) if item_t else np.zeros(0, np.int64)
+        ws_all = (np.concatenate(item_w) if item_w else np.zeros(0)) / 1e9
+        segs_all = np.concatenate(item_s) if item_s else np.zeros(0, np.int64)
+        blks_all = block0 + trees_all // BLOCK_SIZE_TREES
 
         coords = node_ages(anc).astype(np.float64)  # [T, M]
         ch = _children(anc)
         epochs = self.epochs
         E = self.E
+        G = self.G
         internal = np.arange(N, 2 * N - 1)
+        M = 2 * N - 1
+        # per-segment leaf one-hots: the per-item initial counts
+        seg_onehots = np.zeros((nseg, N, G))
+        for si, (_, grp) in enumerate(segments):
+            seg_onehots[si, np.arange(N), grp[:N]] = 1.0
 
-        for li2, items in per_seg.items():
-            group = segments[li2][1]
-            trees = np.array([t for t, _, _ in items], np.int64)
-            ws = np.array([w for _, w, _ in items], np.float64) / 1e9
-            blks = np.array([b for _, _, b in items], np.int64)
-            # group counts over ONLY this segment's trees: [S, M, G]
-            C = _group_counts(anc.parent[trees], N, group, self.G)
-            # child group-count vectors of internal nodes for these trees
-            c1 = ch[trees][:, internal, 0]
-            c2 = ch[trees][:, internal, 1]
-            tsel = np.arange(trees.size)[:, None]
-            n1 = C[tsel, c1]  # [S, N-1, G]
-            n2 = C[tsel, c2]
-            X = np.einsum("sig,sih->sigh", n1, n2)  # ordered outer product
-            cnt = X + np.swapaxes(X, 2, 3)
-            diag = np.arange(self.G)
-            cnt[:, :, diag, diag] = X[:, :, diag, diag]
-            cnt = np.tril(cnt)  # keep sorted keys (g1 >= g2)
-
-            a_u = coords[trees][:, internal]  # [S, N-1]
-            ep_idx = np.clip(
-                np.searchsorted(epochs[1:], a_u.ravel(), side="left"), 0, E - 1
-            ).reshape(a_u.shape)
-            ov = np.clip(
-                np.minimum(a_u[:, :, None], epochs[None, None, 1:])
-                - epochs[None, None, :-1],
-                0.0,
-                None,
-            )
-            ov = np.concatenate([ov, np.zeros(ov.shape[:2] + (1,))], axis=2)
-
-            # num: scatter per (tree, node) into [blk, g1, g2, ep]
-            S, K = a_u.shape
-            num_te = np.zeros((S, self.G, self.G, E))
-            s_idx = np.broadcast_to(np.arange(S)[:, None], (S, K))
-            np.add.at(
-                num_te.transpose(0, 3, 1, 2),
-                (s_idx.ravel(), ep_idx.ravel()),
-                cnt.reshape(S * K, self.G, self.G),
-            )
-            if not ancient:
-                den_te = np.einsum("sigh,sie->sghe", cnt, ov)
-            else:
-                den_te = self._den_ancient(
-                    anc, group, sample_ages, trees, internal, ch, ov
+        if ancient:
+            # the age-truncated denominator keeps its per-segment label
+            # machinery; ancient chromosomes are typically small
+            for li2 in np.unique(segs_all):
+                sel = segs_all == li2
+                self._accumulate_items(
+                    anc, coords, ch, internal, segments[int(li2)][1],
+                    seg_onehots[int(li2)], trees_all[sel], ws_all[sel],
+                    blks_all[sel], sample_ages, ancient=True,
                 )
-            w_num = num_te * ws[:, None, None, None]
-            w_den = den_te * ws[:, None, None, None]
-            np.add.at(self.num, blks, w_num)
-            np.add.at(self.denom, blks, w_den)
+        else:
+            # one batched pass over ALL items (chunked for memory)
+            chunk = max(1, (1 << 24) // max(M * G, 1))
+            for i in range(0, trees_all.shape[0], chunk):
+                sl = slice(i, i + chunk)
+                self._accumulate_items(
+                    anc, coords, ch, internal, None,
+                    seg_onehots[segs_all[sl]], trees_all[sl], ws_all[sl],
+                    blks_all[sl], sample_ages, ancient=False,
+                )
 
         self.num_blocks = block0 + T // BLOCK_SIZE_TREES + 1
+
+    def _accumulate_items(
+        self, anc, coords, ch, internal, group, init_onehot, trees, ws, blks,
+        sample_ages, ancient: bool,
+    ) -> None:
+        """Accumulate one batch of (tree, weight, block) items whose leaf
+        one-hots are ``init_onehot`` ([S, N, G] — per item)."""
+        if trees.size == 0:
+            return
+        N = anc.n_hap
+        E = self.E
+        G = self.G
+        M = 2 * N - 1
+        epochs = self.epochs
+        S = trees.shape[0]
+        # subtree group counts for every item in one ascending-index pass
+        C = np.zeros((S, M, G))
+        C[:, :N] = init_onehot if init_onehot.ndim == 3 else init_onehot[None]
+        par = anc.parent[trees]
+        rows_i = np.arange(S)
+        for j in range(M - 1):
+            p = par[:, j]
+            v = p >= 0
+            np.add.at(C, (rows_i[v], p[v]), C[v, j])
+        c1 = ch[trees][:, internal, 0]
+        c2 = ch[trees][:, internal, 1]
+        tsel = rows_i[:, None]
+        n1 = C[tsel, c1]  # [S, N-1, G]
+        n2 = C[tsel, c2]
+        X = np.einsum("sig,sih->sigh", n1, n2)  # ordered outer product
+        cnt = X + np.swapaxes(X, 2, 3)
+        diag = np.arange(G)
+        cnt[:, :, diag, diag] = X[:, :, diag, diag]
+        cnt = np.tril(cnt)  # keep sorted keys (g1 >= g2)
+
+        a_u = coords[trees][:, internal]  # [S, N-1]
+        ep_idx = np.clip(
+            np.searchsorted(epochs[1:], a_u.ravel(), side="left"), 0, E - 1
+        ).reshape(a_u.shape)
+        ov = np.clip(
+            np.minimum(a_u[:, :, None], epochs[None, None, 1:])
+            - epochs[None, None, :-1],
+            0.0,
+            None,
+        )
+        ov = np.concatenate([ov, np.zeros(ov.shape[:2] + (1,))], axis=2)
+
+        # num: scatter per (tree, node) into [blk, g1, g2, ep]
+        K = a_u.shape[1]
+        num_te = np.zeros((S, G, G, E))
+        s_idx = np.broadcast_to(rows_i[:, None], (S, K))
+        np.add.at(
+            num_te.transpose(0, 3, 1, 2),
+            (s_idx.ravel(), ep_idx.ravel()),
+            cnt.reshape(S * K, G, G),
+        )
+        if not ancient:
+            den_te = np.einsum("sigh,sie->sghe", cnt, ov)
+        else:
+            den_te = self._den_ancient(
+                anc, group, sample_ages, trees, internal, ch, ov
+            )
+        w_num = num_te * ws[:, None, None, None]
+        w_den = den_te * ws[:, None, None, None]
+        np.add.at(self.num, blks, w_num)
+        np.add.at(self.denom, blks, w_den)
 
     def _den_ancient(self, anc, group, sample_ages, trees, internal, ch, ov):
         """Denominator with the per-pair sample-age truncation

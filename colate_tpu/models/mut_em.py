@@ -183,41 +183,44 @@ def compute_suffstats(
             ref_age=ref_age,
         )
     elif cfg.target_tmp and cfg.reference_tmp:
-        # the decoders are independent native calls (GIL released):
-        # the two site streams and masks decode on host threads
-        # WHILE the fused .mut prefilter (parse + row filters)
-        # runs — the cursor join is the only stage that needs
-        # both, so the host pipeline has no serial decode phase
-        from concurrent.futures import ThreadPoolExecutor
-
         from colate_tpu.pipeline.join import (
-            fused_join_bin_native,
+            fused_tmptmp_stream,
             mut_prefilter_native,
         )
 
         dedup = len(set(chroms)) == len(chroms)
         sites = None
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            fut_t = ex.submit(read_colate_in, cfg.target_tmp)
-            fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
-            tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
-            rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
-            pf = (
-                mut_prefilter_native(mut_files, tmasks, rmasks, age)
-                if (not parity and dedup)
-                else None
-            )
-            target = fut_t.result()
-            reference = fut_r.result()
+        tmasks = [read_mask(f) for f in tmask_files] if tmask_files else None
+        rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
+        pf = (
+            mut_prefilter_native(mut_files, tmasks, rmasks, age)
+            if (not parity and dedup)
+            else None
+        )
         if pf is not None:
-            fused = fused_join_bin_native(
-                pf, chroms, target, reference, age, ref_age
+            # streaming fused pipeline: the .mut prefilter (threaded,
+            # native) feeds a chromosome-run streaming join+bin over the
+            # two .colate.in FILES — peak memory is one chromosome's
+            # columns, not the whole genome (bounded-RSS path for the
+            # 7 GB whole-genome workload; the reference streams too,
+            # coal.cpp:2125-2145)
+            fused = fused_tmptmp_stream(
+                pf, chroms, cfg.target_tmp, cfg.reference_tmp, age, ref_age
             )
         if fused is not None:
             (sh_b, ns_b, se_b, ne_b), num_sites, num_blocks = fused
             timings["parse"] = time.time() - t0
             timings["binning"] = 0.0
         else:
+            # Python fallback (no native library / parity replay /
+            # duplicate chromosome names): staged whole-file decode
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                fut_t = ex.submit(read_colate_in, cfg.target_tmp)
+                fut_r = ex.submit(read_colate_in, cfg.reference_tmp)
+                target = fut_t.result()
+                reference = fut_r.result()
             mut_tables = [MutTable.read(f) for f in mut_files]
             sites = join_tmptmp(
                 chroms, mut_tables, target, reference, tmasks, rmasks,

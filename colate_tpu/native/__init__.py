@@ -39,13 +39,19 @@ def _build() -> bool:
 
 
 def load():
-    """ctypes handle to the native library, or None."""
+    """ctypes handle to the native library, or None.
+
+    COLATE_NATIVE_SO points at an alternative build (e.g. the
+    ASan/UBSan library from tools/native_sanitize.sh)."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
-        os.path.getmtime(os.path.join(_HERE, s)) for s in _SOURCES
+    so = os.environ.get("COLATE_NATIVE_SO", _SO)
+    if so == _SO and (
+        not os.path.exists(_SO)
+        or os.path.getmtime(_SO)
+        < max(os.path.getmtime(os.path.join(_HERE, s)) for s in _SOURCES)
     ):
         if not _build():
             if os.environ.get("COLATE_NATIVE_REQUIRED"):
@@ -56,8 +62,10 @@ def load():
             )
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
+        if os.environ.get("COLATE_NATIVE_REQUIRED"):
+            raise
         return None
     lib.cn_mut_read.restype = ctypes.c_void_p
     lib.cn_mut_read.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
@@ -120,6 +128,16 @@ def load():
         + [ctypes.c_double, ctypes.c_int64]  # ref_age, bases per block
         + [ctypes.c_int, P]                  # nbins, edges
         + [ctypes.c_double, ctypes.c_double] # age, bin C
+    )
+    lib.cn_tmptmp_fused_stream.restype = ctypes.c_void_p
+    lib.cn_tmptmp_fused_stream.argtypes = (
+        [ctypes.c_void_p]                    # prefilter handle (consumed)
+        + [ctypes.c_char_p, ctypes.c_char_p] # target/reference paths
+        + [P, P]                             # chrom name blob + offsets
+        + [ctypes.c_double, ctypes.c_int64]  # ref_age, bases per block
+        + [ctypes.c_int, P]                  # nbins, edges
+        + [ctypes.c_double, ctypes.c_double] # age, bin C
+        + [ctypes.c_char_p, ctypes.c_int]    # errbuf
     )
     lib.cn_fused_num_blocks.restype = ctypes.c_int64
     lib.cn_fused_num_blocks.argtypes = [ctypes.c_void_p]

@@ -1151,6 +1151,214 @@ void* cn_tmptmp_join_bin(
   return out;
 }
 
+namespace {
+
+// Streaming .colate.in run reader: bounded memory (one rolling 8 MB
+// window + the current chromosome run's columns).  Replaces whole-file
+// slurps for genome-scale mode-mut runs — the reference streams its
+// records with fread too (coal.cpp:2125-2145).
+struct ColateRun {
+  std::string name;
+  std::vector<int32_t> bp, aaf, daf;
+  std::vector<uint8_t> anc, der;
+  void clear() {
+    name.clear();
+    bp.clear();
+    aaf.clear();
+    daf.clear();
+    anc.clear();
+    der.clear();
+  }
+};
+
+struct ColateInRunReader {
+  FILE* f = nullptr;
+  std::vector<char> buf;
+  size_t lo = 0, hi = 0;
+  bool eof = false;
+  bool exhausted = false;  // garbage/eof reached: no more runs ever
+  // one-record peek: the record that terminated the previous run
+  bool have_peek = false;
+  int32_t pk_lchrom = 0;
+  std::string pk_name;
+  int32_t pk_bp = 0, pk_aaf = 0, pk_daf = 0;
+  uint8_t pk_anc = 0, pk_der = 0;
+
+  ~ColateInRunReader() {
+    if (f) fclose(f);
+  }
+
+  bool open(const char* path) {
+    f = fopen(path, "rb");
+    if (!f) return false;
+    buf.resize(8 << 20);
+    return true;
+  }
+
+  // ensure >= n bytes in the window (memmove tail + refill)
+  bool ensure(size_t n) {
+    if (hi - lo >= n) return true;
+    if (eof) return false;
+    if (lo > 0) {
+      memmove(buf.data(), buf.data() + lo, hi - lo);
+      hi -= lo;
+      lo = 0;
+    }
+    while (hi - lo < n) {
+      size_t got = fread(buf.data() + hi, 1, buf.size() - hi, f);
+      if (got == 0) {
+        eof = true;
+        break;
+      }
+      hi += got;
+    }
+    return hi - lo >= n;
+  }
+
+  // parse one record into the peek slot; false at EOF/garbage
+  bool read_record() {
+    if (!ensure(4)) return false;
+    int32_t lchrom;
+    memcpy(&lchrom, buf.data() + lo, 4);
+    if (lchrom <= 0 || lchrom > 1023) return false;  // garbage: stop
+    if (!ensure(4 + (size_t)lchrom + 14)) return false;
+    const char* p = buf.data() + lo + 4;
+    pk_lchrom = lchrom;
+    pk_name.assign(p, (size_t)lchrom);
+    p += lchrom;
+    memcpy(&pk_bp, p, 4);
+    pk_anc = (uint8_t)p[4];
+    pk_der = (uint8_t)p[5];
+    memcpy(&pk_aaf, p + 6, 4);
+    memcpy(&pk_daf, p + 10, 4);
+    lo += 4 + (size_t)lchrom + 14;
+    have_peek = true;
+    return true;
+  }
+
+  // read the next chromosome run; false when the stream is exhausted
+  bool next_run(ColateRun* out) {
+    if (exhausted) return false;
+    if (!have_peek && !read_record()) {
+      exhausted = true;
+      return false;
+    }
+    out->clear();
+    out->name = pk_name;
+    for (;;) {
+      out->bp.push_back(pk_bp);
+      out->anc.push_back(pk_anc);
+      out->der.push_back(pk_der);
+      out->aaf.push_back(pk_aaf);
+      out->daf.push_back(pk_daf);
+      have_peek = false;
+      if (!read_record()) {
+        exhausted = true;
+        return true;
+      }
+      if (pk_name != out->name) return true;  // peek starts the next run
+    }
+  }
+
+  // advance to the run named `want` (skipping non-matching runs, whose
+  // columns are discarded — the _static_segments overshoot rule); false
+  // when the stream ends first (then empty forever, same rule)
+  bool seek_run(const std::string& want, ColateRun* out) {
+    while (next_run(out)) {
+      if (out->name == want) return true;
+    }
+    out->clear();
+    return false;
+  }
+};
+
+}  // namespace
+
+// Streaming phase 2: like cn_tmptmp_join_bin but reading the two
+// .colate.in files chromosome-run at a time — peak memory is one run's
+// columns per stream instead of the whole genome.  Consumes (frees) the
+// prefilter handle.  A prefetch thread decodes chromosome c+1's runs
+// while the consumer joins+bins chromosome c.
+void* cn_tmptmp_fused_stream(
+    void* prefilter, const char* t_path, const char* r_path,
+    const char* chrom_blob, const int64_t* chrom_off, double ref_age,
+    int64_t nbpb, int nbins, const double* edges, double age, double bin_c,
+    char* errbuf, int errlen) {
+  auto* pf = (PrefilterC*)prefilter;
+  const int n_chr = (int)pf->rows.size();
+  std::vector<std::string> want(n_chr);
+  for (int c = 0; c < n_chr; c++)
+    want[c].assign(chrom_blob + chrom_off[c],
+                   (size_t)(chrom_off[c + 1] - chrom_off[c]));
+
+  ColateInRunReader tr, rr;
+  if (!tr.open(t_path)) {
+    snprintf(errbuf, errlen, "cannot open %s", t_path);
+    delete pf;
+    return nullptr;
+  }
+  if (!rr.open(r_path)) {
+    snprintf(errbuf, errlen, "cannot open %s", r_path);
+    delete pf;
+    return nullptr;
+  }
+
+  auto* out = new FusedOutC();
+  std::vector<std::vector<double>> h_sh(n_chr), h_ns(n_chr), h_se(n_chr),
+      h_ne(n_chr);
+  std::vector<int64_t> blocks(n_chr, 0);
+
+  ColateRun t_run, r_run, t_next, r_next;
+  auto fetch = [&](int c, ColateRun* tdst, ColateRun* rdst) {
+    tr.seek_run(want[c], tdst);
+    rr.seek_run(want[c], rdst);
+  };
+  std::thread pre;
+  if (n_chr) fetch(0, &t_run, &r_run);
+  for (int c = 0; c < n_chr; c++) {
+    if (c + 1 < n_chr)
+      pre = std::thread(fetch, c + 1, &t_next, &r_next);
+    FusedChrom fc;
+    fused_join_chrom(
+        pf->rows[c], t_run.bp.data(), t_run.anc.data(), t_run.der.data(),
+        t_run.aaf.data(), t_run.daf.data(), (int64_t)t_run.bp.size(), 0,
+        (int64_t)t_run.bp.size(), r_run.bp.data(), r_run.anc.data(),
+        r_run.der.data(), r_run.aaf.data(), r_run.daf.data(),
+        (int64_t)r_run.bp.size(), 0, (int64_t)r_run.bp.size(), ref_age, nbpb,
+        &fc);
+    blocks[c] = fc.blocks_used;
+    const size_t hn = (size_t)fc.blocks_used * nbins;
+    h_sh[c].assign(hn, 0.0);
+    h_ns[c].assign(hn, 0.0);
+    h_se[c].assign(hn, 0.0);
+    h_ne[c].assign(hn, 0.0);
+    out->num_sites += fc.num_sites;
+    if (fc.num_sites)
+      cn_bin_analytic(fc.num_sites, fc.ab.data(), fc.ae.data(), fc.ws.data(),
+                      fc.wn.data(), fc.blk.data(), fc.blocks_used, nbins,
+                      edges, age, bin_c, h_sh[c].data(), h_ns[c].data(),
+                      h_se[c].data(), h_ne[c].data());
+    if (pre.joinable()) pre.join();
+    std::swap(t_run, t_next);
+    std::swap(r_run, r_next);
+  }
+  delete pf;
+
+  for (int c = 0; c < n_chr; c++) out->num_blocks += blocks[c];
+  const size_t hn = (size_t)out->num_blocks * nbins;
+  out->sh.reserve(hn);
+  out->ns.reserve(hn);
+  out->se.reserve(hn);
+  out->ne.reserve(hn);
+  for (int c = 0; c < n_chr; c++) {
+    out->sh.insert(out->sh.end(), h_sh[c].begin(), h_sh[c].end());
+    out->ns.insert(out->ns.end(), h_ns[c].begin(), h_ns[c].end());
+    out->se.insert(out->se.end(), h_se[c].begin(), h_se[c].end());
+    out->ne.insert(out->ne.end(), h_ne[c].begin(), h_ne[c].end());
+  }
+  return out;
+}
+
 int64_t cn_fused_num_blocks(void* h) { return ((FusedOutC*)h)->num_blocks; }
 int64_t cn_fused_num_sites(void* h) { return ((FusedOutC*)h)->num_sites; }
 

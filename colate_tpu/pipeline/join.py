@@ -555,6 +555,61 @@ def fused_join_bin_native(
     return hists, num_sites, num_blocks
 
 
+def fused_tmptmp_stream(
+    prefilter,
+    chrom_names: list[str],
+    target_path: str,
+    reference_path: str,
+    age: float = 0.0,
+    ref_age: float = 0.0,
+):
+    """Streaming phase 2: join + bin straight from the two ``.colate.in``
+    FILES, one chromosome run at a time — peak memory is a single
+    chromosome's columns per stream, not the whole genome (the reference
+    also streams, coal.cpp:2125-2145).  Consumes the prefilter handle.
+    Returns (histograms, num_sites, num_blocks); raises on I/O errors.
+
+    Equivalent to read_colate_in + fused_join_bin_native when chromosome
+    names are unique in file order (the same `_static_segments`
+    first-match-after-previous rule is applied by the run reader)."""
+    import ctypes
+
+    from colate_tpu import native
+    from colate_tpu.config import AGE_BIN_C, NUM_AGE_BINS, age_bin_edges
+
+    age = 0.0  # tmp inputs force age=0 (coal.cpp:2073-2074)
+    ref_age = 0.0
+
+    lib = native.load()
+    blob = "".join(chrom_names).encode()
+    off = np.zeros(len(chrom_names) + 1, np.int64)
+    np.cumsum([len(c.encode()) for c in chrom_names], out=off[1:])
+    blob_a = np.frombuffer(blob, np.uint8) if blob else np.zeros(0, np.uint8)
+    edges = np.ascontiguousarray(age_bin_edges())
+    errbuf = ctypes.create_string_buffer(512)
+    h = lib.cn_tmptmp_fused_stream(
+        prefilter, target_path.encode(), reference_path.encode(),
+        _pp(blob_a), _pp(off), float(ref_age), NUM_BASES_PER_BLOCK,
+        NUM_AGE_BINS, _pp(edges), float(age), AGE_BIN_C, errbuf, len(errbuf),
+    )
+    if not h:
+        raise RuntimeError(
+            errbuf.value.decode() or "cn_tmptmp_fused_stream failed"
+        )
+    try:
+        num_blocks = int(lib.cn_fused_num_blocks(h))
+        num_sites = int(lib.cn_fused_num_sites(h))
+        hists = tuple(
+            native.col_array(lib, lib.cn_fused_hist, h, i, np.float64).reshape(
+                num_blocks, NUM_AGE_BINS
+            )
+            for i in range(4)
+        )
+    finally:
+        lib.cn_fused_free(h)
+    return hists, num_sites, num_blocks
+
+
 def fused_tmptmp_hists(
     chrom_names: list[str],
     mut_files: list[str],

@@ -142,3 +142,60 @@ def test_local_ancestry_ancient_samples_golden(tmp_path):
     _run_ref(fix, pop4, str(tmp_path / "refa"))
     _run_ours(fix, pop4, str(tmp_path / "oura"))
     _compare(str(tmp_path / "refa.coal"), str(tmp_path / "oura.coal"))
+
+
+@pytest.mark.oracle
+def test_local_ancestry_scale_identical(tmp_path):
+    """8k trees / 200 segments with bootstrap: the batched item pass
+    (bulk segment runs + one group-count sweep) must keep the output
+    line-identical to the binary (f64 accumulators both sides)."""
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    import subprocess
+
+    from colate_tpu.formats.mut import MutTable
+
+    root = str(tmp_path)
+    prefix = os.path.join(root, "trees")
+    make_anc_mut(prefix, "1", N=10, num_trees=8000, snps_per_tree=3, seed=41)
+    chrfile = os.path.join(root, "chr.txt")
+    with open(chrfile, "w") as fh:
+        fh.write("1\n")
+    tbl = MutTable.read(prefix + "_chr1.mut")
+    g = np.random.default_rng(6)
+    maxpos = int(tbl.pos[-1])
+    cuts = np.concatenate(
+        [[0], np.sort(g.choice(np.arange(1, maxpos), 199, replace=False))]
+    )
+    seg = os.path.join(root, "seg.poplabels")
+    with open(seg, "w") as fh:
+        fh.write("ANC1 ANC2\n")
+        for bp in cuts:
+            fh.write(
+                f"1 {bp} " + " ".join(str(int(x)) for x in g.integers(0, 2, 10))
+                + "\n"
+            )
+    subprocess.run(
+        [REF_COALRATE, "--mode", "local_ancestry", "-i", prefix,
+         "--chr", chrfile, "--poplabels", seg, "--bins", "2,6,0.5",
+         "--num_bootstraps", "5", "-o", str(tmp_path / "ref")],
+        check=True, capture_output=True, timeout=300,
+    )
+    from colate_tpu.models.local_ancestry import run_local_ancestry
+
+    class Args:
+        input = prefix
+        chr_file = chrfile
+        poplabels = seg
+        bins = "2,6,0.5"
+        years_per_gen = None
+        num_bootstraps = 5
+        coal = None
+        output = str(tmp_path / "our")
+
+    run_local_ancestry(Args())
+    with open(str(tmp_path / "ref.coal")) as fh:
+        ref = fh.read()
+    with open(str(tmp_path / "our.coal")) as fh:
+        ours = fh.read()
+    assert ref == ours

@@ -141,6 +141,86 @@ def test_fused_tmptmp_matches_staged(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def _stream_hists(fix, tmasks=None, rmasks=None):
+    from colate_tpu.pipeline.join import fused_tmptmp_stream, mut_prefilter_native
+
+    files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in fix["chroms"]]
+    pf = mut_prefilter_native(files, tmasks, rmasks, 0.0)
+    if pf is None:
+        return None
+    return fused_tmptmp_stream(
+        pf, fix["chroms"], fix["target"], fix["reference"], 0.0, 0.0
+    )
+
+
+def test_stream_tmptmp_matches_staged(tmp_path):
+    """The chromosome-run streaming join (bounded memory) must be
+    bit-equal to the staged whole-file path."""
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=2500, seed=91)
+    (hs, ns, nb, _, _) = _staged_hists(fix)
+    out = _stream_hists(fix)
+    assert out is not None
+    hf, ns_f, nb_f = out
+    assert (ns_f, nb_f) == (ns, nb)
+    for a, b in zip(hf, hs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stream_tmptmp_masks_and_missing_chrom(tmp_path):
+    """Streaming variant of the mask/missing-chromosome semantics: a
+    chromosome absent from the streams exhausts the run reader for all
+    later chromosomes (the _static_segments overshoot rule)."""
+    from helpers.synth import make_fixture
+
+    fix = make_fixture(
+        str(tmp_path / "fix"), chroms=("1", "2", "3"), n_per_chrom=1200, seed=77
+    )
+    g = np.random.default_rng(5)
+    tmasks = [
+        g.choice(np.frombuffer(b"PN", np.uint8), 2_000_000) for _ in range(3)
+    ]
+    rmasks = [None, g.choice(np.frombuffer(b"PN", np.uint8), 1_000_000), None]
+    (hs, ns, nb, _, _) = _staged_hists(fix, tmasks, rmasks)
+    out = _stream_hists(fix, tmasks, rmasks)
+    assert out is not None
+    hf, ns_f, nb_f = out
+    assert (ns_f, nb_f) == (ns, nb)
+    for a, b in zip(hf, hs):
+        np.testing.assert_array_equal(a, b)
+
+    # request a chromosome the streams don't have, in the middle: later
+    # chromosomes must come out empty on both paths
+    from colate_tpu.formats.colate_in import read_colate_in
+    from colate_tpu.formats.mut import MutTable as MT
+    from colate_tpu.pipeline.binning import bin_sites_analytic_native
+    from colate_tpu.pipeline.join import (
+        fused_tmptmp_stream,
+        join_tmptmp,
+        mut_prefilter_native,
+    )
+    import shutil
+
+    chroms2 = ["1", "99", "2"]
+    shutil.copy(
+        f"{fix['mut_prefix']}_chr1.mut", f"{fix['mut_prefix']}_chr99.mut"
+    )
+    files2 = [f"{fix['mut_prefix']}_chr{c}.mut" for c in chroms2]
+    pf = mut_prefilter_native(files2, None, None, 0.0)
+    hf2, ns2, nb2 = fused_tmptmp_stream(
+        pf, chroms2, fix["target"], fix["reference"], 0.0, 0.0
+    )
+    mts = [MT.read(f) for f in files2]
+    tgt = read_colate_in(fix["target"])
+    ref = read_colate_in(fix["reference"])
+    sites = join_tmptmp(chroms2, mts, tgt, ref, None, None)
+    hs2 = bin_sites_analytic_native(sites, age=0.0)
+    assert (ns2, nb2) == (len(sites), sites.num_blocks)
+    for a, b in zip(hf2, hs2):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fused_tmptmp_with_masks_and_missing_chrom(tmp_path):
     """Masks filter rows; a chromosome absent from the streams exhausts
     the cursor for all later chromosomes (reference EOF behaviour)."""

@@ -188,7 +188,11 @@ def main() -> None:
         "--mode", "make_tmp", "--mut", mut_prefix, "--target_bam", bam,
         "--ref_genome", rg_prefix, "--chr", chrf,
     ]
-    env = {**os.environ, "PYTHONPATH": "/root/.axon_site:" + REPO}
+    # make_tmp is a host-only converter: drop the TPU-tunnel hookup
+    # (sitecustomize's axon/jax registration costs ~2 s of interpreter
+    # startup per process — pure environment tax, no engine involvement)
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     ours_w, ours_rss, rc = run_timed(
         [sys.executable, "-m", "colate_tpu", *base, "-o", os.path.join(d, "ours")],
         env=env,
