@@ -67,6 +67,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="cache per-block histograms to <output>.suffstats.npz "
                         "keyed by an input fingerprint; reruns skip "
                         "parse+binning (analytic mode)")
+    p.add_argument("--per_chr_bam", action="store_true",
+                   help="mode mut with --target_bam+--reference_bcf: read "
+                        "one BAM per chromosome (<target_bam>_chr<name>.bam) "
+                        "instead of one multi-contig BAM (the reference's "
+                        "parse_bamvcf layout, coal.cpp:1229-1510)")
     return p
 
 
@@ -137,6 +142,7 @@ def _dispatch(argv: list[str] | None = None) -> int:
             sampling=args.sampling,
             em_dtype=args.em_dtype,
             checkpoint=args.checkpoint,
+            per_chr_bam=args.per_chr_bam,
         )
         run_mut_and_write(cfg)
         return 0

@@ -130,3 +130,7 @@ class MutRunConfig:
     # engine-level resume: cache the per-block histograms keyed by an
     # input fingerprint (utils/checkpoint.py); analytic mode only
     checkpoint: bool = False
+    # per-chromosome target BAMs <target_bam>_chr<name>.bam — the
+    # reference's parse_bamvcf layout (coal.cpp:1229-1510), whose CLI
+    # dispatch is dead code there (coal.cpp:3273 commented out)
+    per_chr_bam: bool = False

@@ -149,22 +149,41 @@ def compute_suffstats(
             mc_hists=mc_hists,
         )
     elif cfg.target_bam and cfg.reference_bcf:
-        from colate_tpu.pipeline.join_bam import join_onebamvcf
-
         if not cfg.ref_genome:
             raise ValueError("mut with --target_bam requires --ref_genome")
-        sites = join_onebamvcf(
-            chroms,
-            mut_files,
-            cfg.target_bam + ".bam",  # coal.cpp:3228
-            per_chr(cfg.reference_bcf, ".bcf"),
-            tmask_files,
-            rmask_files,
-            per_chr(cfg.ref_genome, ".fa"),
-            params=cfg.filters,
-            age=age,
-            ref_age=ref_age,
-        )
+        if cfg.per_chr_bam:
+            # the reference's parse_bamvcf layout (one BAM per chr,
+            # coal.cpp:1229-1510) — dead code behind its CLI
+            # (coal.cpp:3273), reachable here via --per_chr_bam
+            from colate_tpu.pipeline.join_bam import join_bamvcf
+
+            sites = join_bamvcf(
+                chroms,
+                mut_files,
+                per_chr(cfg.target_bam, ".bam"),
+                per_chr(cfg.reference_bcf, ".bcf"),
+                tmask_files,
+                rmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                params=cfg.filters,
+                age=age,
+                ref_age=ref_age,
+            )
+        else:
+            from colate_tpu.pipeline.join_bam import join_onebamvcf
+
+            sites = join_onebamvcf(
+                chroms,
+                mut_files,
+                cfg.target_bam + ".bam",  # coal.cpp:3228
+                per_chr(cfg.reference_bcf, ".bcf"),
+                tmask_files,
+                rmask_files,
+                per_chr(cfg.ref_genome, ".fa"),
+                params=cfg.filters,
+                age=age,
+                ref_age=ref_age,
+            )
     elif cfg.target_bam and cfg.reference_bam:
         from colate_tpu.pipeline.join_bam import join_onebambam
 

@@ -3,10 +3,18 @@
 ``join_onebamvcf`` replicates parse_onebamvcf (coal/coal.cpp:1512-1796):
 one multi-contig target BAM pileup vs a per-chromosome reference BCF.
 ``join_onebambam`` replicates parse_onebambam (coal/coal.cpp:1798-2069):
-target and reference both BAM pileups.  (The reference also contains a
-``parse_bamvcf`` for per-chromosome BAM lists, but no mode ever
-dispatches it — coal.cpp:3227 routes --target_bam+--reference_bcf to
-parse_onebamvcf — so it is intentionally not reproduced.)
+target and reference both BAM pileups.  ``join_bamvcf`` replicates
+parse_bamvcf (coal/coal.cpp:1229-1510): one target BAM *per
+chromosome* vs a per-chromosome reference BCF.  parse_bamvcf is dead
+code in the reference CLI (coal.cpp:3256 routes
+--target_bam+--reference_bcf to parse_onebamvcf; the per-chr filename
+resolution is commented out at coal.cpp:3273), so there is no binary
+oracle for it; its per-site math is identical to parse_onebamvcf
+(verified line-by-line: the only differences are the per-chromosome
+bam_parser construction and block/coverage bookkeeping, which match
+too), and we pin it by equality against join_onebamvcf on a
+contig-split of the same BAM.  Dispatch is opt-in via --per_chr_bam
+with the commented-out convention ``<target_bam>_chr<name>.bam``.
 
 Shared semantics (exact):
 - mut-row filters as in the other parsers: flipped==0, one branch,
@@ -132,6 +140,82 @@ def _finish(out, block_offset: int) -> JoinedSites:
     )
 
 
+def _bamvcf_chrom(
+    cursor,
+    chrom: str,
+    mut_file: str,
+    ref_bcf_file: str,
+    tmask_file: str | None,
+    rmask_file: str | None,
+    ref_genome_file: str,
+    age: float,
+    ref_age: float,
+    out: dict,
+    block_offset: int,
+    n_ref_defined: bool,
+) -> tuple[int, bool]:
+    """One chromosome of the shared BAM-target/BCF-reference join
+    (the per-mut-row body of coal.cpp:1282-1486 == 1565-1769); returns
+    the updated (block_offset, n_ref_defined)."""
+    mt = MutTable.read(mut_file)
+    ref = read_vcf(ref_bcf_file)
+    tmask = read_mask(tmask_file) if tmask_file else None
+    rmask = read_mask(rmask_file) if rmask_file else None
+    genome = np.frombuffer(read_fasta(ref_genome_file).encode(), np.uint8)
+
+    rows, pos, anc, der = _filtered_rows(mt, age, tmask, rmask)
+
+    # ---- reference BCF stream (coal.cpp:1603-1659) ----
+    r_ref1, r_alt1, _, r_daf, r_bi, n_ref = _vcf_columns(ref)
+    ridx, rexists = _cursor_index(ref.pos, pos)
+    straight = rexists & (r_ref1[ridx] == anc) & (r_alt1[ridx] == der)
+    flip = rexists & (r_ref1[ridx] == der) & (r_alt1[ridx] == anc)
+    m = straight | flip
+    r_use = ~rexists | (m & r_bi[ridx])
+    daf_ref = np.where(
+        rexists & m, np.where(flip, n_ref - r_daf[ridx], r_daf[ridx]), 0
+    )
+    # absent -> ref-genome fallback with ratio DAF_ref/N_ref == 1
+    gidx = np.clip(pos - 1, 0, max(genome.shape[0] - 1, 0))
+    gbase = np.where(
+        (pos - 1 >= 0) & (pos - 1 < genome.shape[0]),
+        genome[gidx] if genome.shape[0] else 0,
+        0,
+    )
+    absent_ok = ~rexists & (gbase == der)
+    if not n_ref_defined:
+        mi = np.nonzero(m)[0]
+        if mi.size:
+            absent_ok &= np.arange(pos.shape[0]) >= mi[0]
+            n_ref_defined = True
+        else:
+            absent_ok &= False
+    daf_ref = np.where(absent_ok, n_ref, daf_ref)
+    r_use &= rexists | absent_ok
+    r_use &= daf_ref != 0
+    rsel = np.nonzero(r_use)[0]
+
+    # ---- target pileup (coal.cpp:1661-1705): stream the contig once,
+    # answering the surviving rows' positions ----
+    claimed, counts, cov_raw, cova_raw, glen = cursor.contig_counts(
+        chrom, ref_genome_file, None, pos[rsel] - 1
+    )
+    t_ok, aaf_t, daf_t = _pileup_evidence(
+        claimed, counts, anc[rsel], der[rsel]
+    )
+    tsel = rsel[t_ok]
+
+    dr = daf_ref[tsel].astype(np.float64)
+    ws = daf_t[t_ok].astype(np.float64) * dr / float(n_ref)
+    wn = aaf_t[t_ok].astype(np.float64) * dr / float(n_ref)
+    last_blk = _emit(out, mt, rows[tsel], ws, wn, ref_age, block_offset)
+    print(
+        f"Coverage: {cov_raw / max(glen, 1)} {cova_raw / max(glen, 1)}",
+        file=sys.stderr,
+    )
+    return block_offset + last_blk + 1, n_ref_defined
+
+
 def join_onebamvcf(
     chrom_names: list[str],
     mut_files: list[str],
@@ -156,65 +240,59 @@ def join_onebamvcf(
 
     for ci, chrom in enumerate(chrom_names):
         print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
-        mt = MutTable.read(mut_files[ci])
-        ref = read_vcf(ref_bcf_files[ci])
-        tmask = read_mask(tmask_files[ci]) if tmask_files else None
-        rmask = read_mask(rmask_files[ci]) if rmask_files else None
-        genome = np.frombuffer(
-            read_fasta(ref_genome_files[ci]).encode(), np.uint8
+        block_offset, n_ref_defined = _bamvcf_chrom(
+            cursor, chrom, mut_files[ci], ref_bcf_files[ci],
+            tmask_files[ci] if tmask_files else None,
+            rmask_files[ci] if rmask_files else None,
+            ref_genome_files[ci], age, ref_age, out, block_offset,
+            n_ref_defined,
         )
 
-        rows, pos, anc, der = _filtered_rows(mt, age, tmask, rmask)
+    return _finish(out, block_offset)
 
-        # ---- reference BCF stream (coal.cpp:1603-1659) ----
-        r_ref1, r_alt1, _, r_daf, r_bi, n_ref = _vcf_columns(ref)
-        ridx, rexists = _cursor_index(ref.pos, pos)
-        straight = rexists & (r_ref1[ridx] == anc) & (r_alt1[ridx] == der)
-        flip = rexists & (r_ref1[ridx] == der) & (r_alt1[ridx] == anc)
-        m = straight | flip
-        r_use = ~rexists | (m & r_bi[ridx])
-        daf_ref = np.where(
-            rexists & m, np.where(flip, n_ref - r_daf[ridx], r_daf[ridx]), 0
-        )
-        # absent -> ref-genome fallback with ratio DAF_ref/N_ref == 1
-        gidx = np.clip(pos - 1, 0, max(genome.shape[0] - 1, 0))
-        gbase = np.where(
-            (pos - 1 >= 0) & (pos - 1 < genome.shape[0]),
-            genome[gidx] if genome.shape[0] else 0,
-            0,
-        )
-        absent_ok = ~rexists & (gbase == der)
-        if not n_ref_defined:
-            mi = np.nonzero(m)[0]
-            if mi.size:
-                absent_ok &= np.arange(pos.shape[0]) >= mi[0]
-                n_ref_defined = True
-            else:
-                absent_ok &= False
-        daf_ref = np.where(absent_ok, n_ref, daf_ref)
-        r_use &= rexists | absent_ok
-        r_use &= daf_ref != 0
-        rsel = np.nonzero(r_use)[0]
 
-        # ---- target pileup (coal.cpp:1661-1705): stream the contig once,
-        # answering the surviving rows' positions ----
-        claimed, counts, cov_raw, cova_raw, glen = cursor.contig_counts(
-            chrom, ref_genome_files[ci], None, pos[rsel] - 1
-        )
-        t_ok, aaf_t, daf_t = _pileup_evidence(
-            claimed, counts, anc[rsel], der[rsel]
-        )
-        tsel = rsel[t_ok]
+def join_bamvcf(
+    chrom_names: list[str],
+    mut_files: list[str],
+    bam_files: list[str],
+    ref_bcf_files: list[str],
+    tmask_files: list[str] | None,
+    rmask_files: list[str] | None,
+    ref_genome_files: list[str],
+    params: str = "20,30,10",
+    age: float = 0.0,
+    ref_age: float = 0.0,
+) -> JoinedSites:
+    """parse_bamvcf (coal.cpp:1229-1510): one target BAM *per
+    chromosome* (``bam_files[ci]``) against per-chromosome reference
+    BCFs.  Identical per-site math to join_onebamvcf — the reference's
+    two functions differ only in bam_parser lifetime (constructed per
+    chromosome with the chromosome's ref genome, coal.cpp:1270) — so a
+    contig-split of a multi-contig BAM yields identical sufficient
+    statistics (pinned in tests/test_mut_bam.py).  N_ref staleness
+    carries across chromosomes exactly as in the reference (the local
+    is declared once at coal.cpp:1236)."""
+    age = 0.0  # forced (coal.cpp:1231-1232)
+    ref_age = 0.0
+    out = {k: [] for k in ("ab", "ae", "ws", "wn", "blk")}
+    block_offset = 0
+    n_ref_defined = False
 
-        dr = daf_ref[tsel].astype(np.float64)
-        ws = daf_t[t_ok].astype(np.float64) * dr / float(n_ref)
-        wn = aaf_t[t_ok].astype(np.float64) * dr / float(n_ref)
-        last_blk = _emit(out, mt, rows[tsel], ws, wn, ref_age, block_offset)
-        block_offset += last_blk + 1
-        print(
-            f"Coverage: {cov_raw / max(glen, 1)} {cova_raw / max(glen, 1)}",
-            file=sys.stderr,
-        )
+    for ci, chrom in enumerate(chrom_names):
+        print(f"parsing CHR: {ci + 1} / {len(chrom_names)}", file=sys.stderr)
+        cursor = open_pileup(bam_files[ci], params)
+        try:
+            block_offset, n_ref_defined = _bamvcf_chrom(
+                cursor, chrom, mut_files[ci], ref_bcf_files[ci],
+                tmask_files[ci] if tmask_files else None,
+                rmask_files[ci] if rmask_files else None,
+                ref_genome_files[ci], age, ref_age, out, block_offset,
+                n_ref_defined,
+            )
+        finally:
+            close = getattr(cursor, "close", None)
+            if close is not None:
+                close()
 
     return _finish(out, block_offset)
 

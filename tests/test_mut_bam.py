@@ -133,3 +133,88 @@ def test_mut_onebambam_golden(oracle, mutbam_fixture, tmp_path):
     )
     run_mut_and_write(cfg)
     _compare(tmp_path)
+
+
+def _split_bam_per_contig(fix, out_prefix):
+    """Rewrite the multi-contig fixture BAM as one BAM per listed
+    chromosome (the parse_bamvcf layout, <prefix>_chr<name>.bam)."""
+    from colate_tpu.formats.bam import read_bam
+    from colate_tpu.formats.fasta import read_fasta
+    from helpers.synth_bam import write_bam
+
+    rec = read_bam(fix["target_bam"])
+    for c in fix["chroms"]:
+        ln = len(read_fasta(f"{fix['rg_prefix']}_chr{c}.fa"))
+        sel = [i for i in range(len(rec)) if rec.contig[i] == c]
+        write_bam(
+            f"{out_prefix}_chr{c}.bam",
+            {c: ln},
+            [
+                (int(rec.flag[i]), 0, int(rec.pos[i]), int(rec.mapq[i]),
+                 rec.seq[i], rec.qual[i])
+                for i in sel
+            ],
+        )
+
+
+def test_bamvcf_split_equals_onebamvcf(mutbam_fixture, tmp_path):
+    """join_bamvcf (parse_bamvcf, coal.cpp:1229-1510 — dead code behind
+    the reference CLI) on a per-contig split of the BAM must produce the
+    same sufficient statistics as join_onebamvcf on the combined BAM:
+    the two reference functions share their per-site math verbatim."""
+    from colate_tpu.pipeline.join_bam import join_bamvcf, join_onebamvcf
+
+    fix = mutbam_fixture
+    prefix = str(tmp_path / "split")
+    _split_bam_per_contig(fix, prefix)
+    chroms = fix["chroms"]
+    mut_files = [f"{fix['mut_prefix']}_chr{c}.mut" for c in chroms]
+    bcf_files = [f"{fix['rbcf_prefix']}_chr{c}.bcf" for c in chroms]
+    rg_files = [f"{fix['rg_prefix']}_chr{c}.fa" for c in chroms]
+    mask_files = [f"{fix['mask_prefix']}_chr{c}.fa" for c in chroms]
+
+    one = join_onebamvcf(chroms, mut_files, fix["target_bam"], bcf_files,
+                         mask_files, None, rg_files)
+    per = join_bamvcf(chroms, mut_files,
+                      [f"{prefix}_chr{c}.bam" for c in chroms],
+                      bcf_files, mask_files, None, rg_files)
+    assert len(per) == len(one) > 0
+    assert per.num_blocks == one.num_blocks
+    np.testing.assert_array_equal(per.block_id, one.block_id)
+    np.testing.assert_array_equal(per.age_begin, one.age_begin)
+    np.testing.assert_array_equal(per.age_end, one.age_end)
+    np.testing.assert_array_equal(per.w_shared, one.w_shared)
+    np.testing.assert_array_equal(per.w_notshared, one.w_notshared)
+
+
+def test_mut_per_chr_bam_end_to_end(mutbam_fixture, tmp_path):
+    """--per_chr_bam end-to-end: identical .coal to the one-BAM path
+    (analytic sampling is deterministic given equal suffstats)."""
+    fix = mutbam_fixture
+    prefix = str(tmp_path / "split")
+    _split_bam_per_contig(fix, prefix)
+    base = dict(
+        mut=fix["mut_prefix"],
+        chr_list=fix["chroms"],
+        reference_bcf=fix["rbcf_prefix"],
+        ref_genome=fix["rg_prefix"],
+        bins="3,7,0.2",
+        seed=11,
+        sampling="analytic",
+    )
+    run_mut_and_write(MutRunConfig(
+        output=str(tmp_path / "one"),
+        target_bam=fix["target_bam"][:-4],
+        **base,
+    ))
+    run_mut_and_write(MutRunConfig(
+        output=str(tmp_path / "per"),
+        target_bam=prefix,
+        per_chr_bam=True,
+        **base,
+    ))
+    with open(tmp_path / "one.coal") as fh:
+        one = fh.read()
+    with open(tmp_path / "per.coal") as fh:
+        per = fh.read()
+    assert per == one
