@@ -448,6 +448,7 @@ def finish_from_suffstats(
         from colate_tpu.ops.em import run_em_native
 
         out = run_em_native(epochs, init_rates, shared_counts, notshared_counts)
+    provider = "native"
     if out is not None:
         rates, logl, iters = out
     else:
@@ -460,20 +461,43 @@ def finish_from_suffstats(
                 else "float32"
             )
         with profile_trace():  # COLATE_TPU_TRACE=<dir> captures the EM
-            rates, logl, iters = run_em(
-                jnp.asarray(epochs),
-                jnp.asarray(init_rates),
-                jnp.asarray(shared_counts),
-                jnp.asarray(notshared_counts),
-                dtype=em_dtype,
-            )
+            rates = None
+            if em_dtype == "float32" and os.environ.get(
+                "COLATE_EM_PALLAS", "1"
+            ) != "0":
+                # fused Pallas backend: same f32 contract as the XLA
+                # path (tests/test_em_pallas.py), K iterations per
+                # kernel launch with everything resident in VMEM
+                import jax
+
+                if jax.default_backend() not in ("cpu",):
+                    from colate_tpu.ops.em_pallas import run_em_pallas
+
+                    try:
+                        rates, logl, iters = run_em_pallas(
+                            epochs, init_rates,
+                            shared_counts, notshared_counts,
+                        )
+                        provider = "pallas:float32"
+                    except Exception as exc:  # Mosaic/platform gaps
+                        log_event("mut_em_pallas_fallback", error=repr(exc))
+                        rates = None
+            if rates is None:
+                provider = f"jax:{em_dtype}"
+                rates, logl, iters = run_em(
+                    jnp.asarray(epochs),
+                    jnp.asarray(init_rates),
+                    jnp.asarray(shared_counts),
+                    jnp.asarray(notshared_counts),
+                    dtype=em_dtype,
+                )
     rates = np.asarray(rates)
     logl = np.asarray(logl)
     iters = np.asarray(iters)
     timings["em"] = time.time() - t0
     log_event(
         "mut_em",
-        provider="native" if out is not None else f"jax:{em_dtype}",
+        provider=provider,
         iters=int(np.max(iters)),
         sec=round(timings["em"], 4),
     )
