@@ -235,6 +235,26 @@ def bench_em_batched(fix, details: dict, oracle: str | None) -> None:
             dt = time.time() - t0
             t_dev = dt if t_dev is None else min(t_dev, dt)
         r_d = np.asarray(out[0])
+        # fused Pallas backend (TPU-only; skipped gracefully on CPU)
+        t_pal = t_pal_cold = None
+        r_p = None
+        try:
+            from colate_tpu.ops.em_pallas import run_em_pallas
+
+            if jax.default_backend() != "cpu":
+                t0 = time.time()
+                out_p = run_em_pallas(epochs, init, *reps[0])
+                jax.block_until_ready(out_p)
+                t_pal_cold = time.time() - t0
+                for sc_i, nc_i in reps[1:]:
+                    t0 = time.time()
+                    out_p = run_em_pallas(epochs, init, sc_i, nc_i)
+                    jax.block_until_ready(out_p)
+                    dt = time.time() - t0
+                    t_pal = dt if t_pal is None else min(t_pal, dt)
+                r_p = np.asarray(out_p[0])
+        except Exception as e:
+            log(f"pallas EM bench skipped: {e}")
         # tiered accuracy (tests/test_em_f32.py contract): identified
         # rates are tight; near-floor rates are mid-transient artifacts
         # of the stopping rule and carry no statistical signal
@@ -253,6 +273,19 @@ def bench_em_batched(fix, details: dict, oracle: str | None) -> None:
             if m_weak.any()
             else None,
         }
+        if t_pal is not None:
+            rel_p = np.abs(r_p - r_h) / np.maximum(r_h, 1e-300)
+            details[f"em_B{B}"].update(
+                pallas_f32_warm_s=round(t_pal, 4),
+                pallas_f32_cold_s=round(t_pal_cold, 2),
+                pallas_relerr_rates_ge_1e4=round(float(rel_p[m_id].max()), 8)
+                if m_id.any()
+                else None,
+            )
+            log(
+                f"EM B={B} pallas: warm {t_pal:.4f}s "
+                f"(XLA warm {t_dev:.4f}s), cold {t_pal_cold:.1f}s"
+            )
         relerr = float(rel[m_weak].max()) if m_weak.any() else 0.0
         log(
             f"EM B={B}: host {t_host:.2f}s, device warm {t_dev:.3f}s "

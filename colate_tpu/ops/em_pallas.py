@@ -176,6 +176,9 @@ def _make_kernel(E: int, N: int, K: int, C: int):
 
         def e_step_chunk(c, tabs, write_ll):
             lam, H, S, P, T1, inv_lam, em1_full = tabs
+            # c is i32 (the chunk fori_loop uses i32 bounds) and C is a
+            # weak-typed Python int, so the offset stays i32 under x64;
+            # mixed i32*i64 here is rejected by Mosaic
             sl = pl.ds(c * C, C)
             onehot = onehot_ref[sl, :]          # [C, E]
             m_lt = m_lt_ref[sl, :][:, :, None]  # [C, E, 1]
@@ -328,13 +331,14 @@ def _make_kernel(E: int, N: int, K: int, C: int):
                     num_tot, den_tot = num_tot + num_c, den_tot + den_c
             else:
                 num_tot, den_tot = jax.lax.fori_loop(
-                    0, n_chunks, chunk_body, (zero, zero)
+                    jnp.int32(0), jnp.int32(n_chunks), chunk_body, (zero, zero)
                 )
             return m_step(rates, num_tot, den_tot)
 
         rates = rates_ref[:]
         rates = jax.lax.fori_loop(
-            0, K - 1, lambda _, r: iteration(r, False), rates
+            jnp.int32(0), jnp.int32(K - 1), lambda _, r: iteration(r, False),
+            rates,
         )
         rates_out_ref[:] = iteration(rates, True)
 
@@ -429,13 +433,18 @@ def _pallas_step(epochs_key: bytes, E: int, Bp: int, K: int, interpret: bool):
     )
 
     def step(rates_T, sc_p, nc_p):
-        return call(
-            rates_T, sc_p, nc_p,
-            cst["t"], cst["tmk"], cst["tk1"], cst["klt"],
-            cst["onehot"], cst["m_lt"], cst["m_eq"], cst["m_le"],
-            cst["m_gt"],
-            cst["epochs"], cst["dt"], cst["enext"], cst["islast"],
-        )
+        # trace/lower the kernel with x64 disabled: under jax_enable_x64
+        # the grid index maps come out i64 and Mosaic aborts on any
+        # >32-bit layout (reproduced with a trivial gridded kernel on
+        # this platform); every tensor here is f32 regardless
+        with jax.enable_x64(False):
+            return call(
+                rates_T, sc_p, nc_p,
+                cst["t"], cst["tmk"], cst["tk1"], cst["klt"],
+                cst["onehot"], cst["m_lt"], cst["m_eq"], cst["m_le"],
+                cst["m_gt"],
+                cst["epochs"], cst["dt"], cst["enext"], cst["islast"],
+            )
 
     return step, N
 
