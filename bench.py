@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import subprocess
 import sys
 import time
@@ -420,76 +419,61 @@ def bench_whole_genome(fix, details: dict, oracle: str | None) -> None:
     """End-to-end mode mut at whole-genome scale, B=1024 bootstraps —
     the workload where the winning path executes ON THE CHIP.
 
-    One process, three runs over identical inputs:
-    - device: em_dtype=float32 -> batched [1024,185,E] device EM
-      (first run carries the XLA compile; the repeat run shows the
-      production server / repeated-invocation cost);
+    Each variant runs twice in its own fresh subprocess (tools/wg_run.py),
+    so cold = first invocation carrying every compile, warm = repeat in
+    the same process, and max-RSS is per-variant (not the bench process's
+    lifetime max, which fixture generation would dominate):
+    - device: em_dtype=float32 -> fused Pallas EM (XLA f32 fallback);
     - host: EM forced to the native sequential provider;
     - reference binary, measured at B=128 and extrapolated linearly to
       1024 (its bootstrap EMs are strictly sequential, coal.cpp:3675).
     """
     import numpy as np
 
-    from colate_tpu.config import MutRunConfig
-    from colate_tpu.models.mut_em import run_mut_and_write
-    from colate_tpu import config as _cfg
-
     def run(tag, em_dtype, host_max_b):
-        old = _cfg.EM_HOST_MAX_B
-        _cfg.EM_HOST_MAX_B = host_max_b
-        try:
-            cfg = MutRunConfig(
-                mut=fix["mut_prefix"],
-                output=os.path.join(WG_DIR, f"wg_{tag}"),
-                chr_list=fix["chroms"],
-                target_tmp=fix["target"],
-                reference_tmp=fix["reference"],
-                bins="3,7,0.2",
-                seed=1,
-                num_bootstrap=WG_BOOTSTRAPS,
-                sampling="analytic",
-                em_dtype=em_dtype,
-            )
-            t0 = time.time()
-            res = run_mut_and_write(cfg)
-            dt = time.time() - t0
-        finally:
-            _cfg.EM_HOST_MAX_B = old
-        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-        return dt, res, rss
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "wg_run.py"),
+             WG_DIR, tag, em_dtype, str(host_max_b), str(WG_BOOTSTRAPS)],
+            capture_output=True, timeout=3600, text=True,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"wg_run {tag} failed: {r.stderr[-500:]}")
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        rates = np.load(os.path.join(WG_DIR, f"wg_{tag}_rates.npy"))
+        return out, rates
 
-    t_dev_cold, res, _ = run("dev_cold", "float32", 0)
-    t_dev, res, rss_dev = run("dev", "float32", 0)
-    t_host, res_h, rss_host = run("host", "auto", 10**9)
+    dev, r_dev = run("dev", "float32", 0)
+    host, r_host = run("host", "auto", 10**9)
     np.testing.assert_allclose(  # device result must agree on real rates
-        np.asarray(res.rates)[np.asarray(res_h.rates) > 1e-4],
-        np.asarray(res_h.rates)[np.asarray(res_h.rates) > 1e-4],
-        rtol=1e-3,
+        r_dev[r_host > 1e-4], r_host[r_host > 1e-4], rtol=1e-3,
     )
+    t_dev, t_host = dev["warm_s"], host["warm_s"]
     entry = {
         "chroms": WG_CHROMS,
-        "num_sites": res.num_sites,
+        "num_sites": dev["num_sites"],
         "num_bootstraps": WG_BOOTSTRAPS,
-        "device_total_s": round(t_dev, 2),
-        "device_total_cold_s": round(t_dev_cold, 2),
-        "device_sites_per_sec": round(res.num_sites / t_dev, -3),
-        "device_stages": {k: round(v, 2) for k, v in res.timings.items()},
-        "host_total_s": round(t_host, 2),
-        "host_stages": {k: round(v, 2) for k, v in res_h.timings.items()},
-        "max_rss_mb": round(max(rss_dev, rss_host), 1),
+        "device_total_s": t_dev,
+        "device_total_cold_s": dev["cold_s"],
+        "device_sites_per_sec": round(dev["num_sites"] / t_dev, -3),
+        "device_stages": dev["timings"],
+        "device_em_provider": dev.get("em_provider"),
+        "device_max_rss_mb": dev["max_rss_mb"],
+        "host_total_s": t_host,
+        "host_stages": host["timings"],
+        "host_max_rss_mb": host["max_rss_mb"],
         "winner": "device" if t_dev < t_host else "host",
         "f32_vs_f64_rate_relerr_identified": float(
             np.max(
-                np.abs(np.asarray(res.rates) - np.asarray(res_h.rates))[
-                    np.asarray(res_h.rates) > 1e-4
-                ]
-                / np.asarray(res_h.rates)[np.asarray(res_h.rates) > 1e-4]
+                np.abs(r_dev - r_host)[r_host > 1e-4]
+                / r_host[r_host > 1e-4]
             )
         ),
     }
     log(
         f"whole genome B={WG_BOOTSTRAPS}: device {t_dev:.1f}s (cold "
-        f"{t_dev_cold:.1f}s), host {t_host:.1f}s, sites={res.num_sites}"
+        f"{dev['cold_s']:.1f}s, em={dev.get('em_provider')}), host "
+        f"{t_host:.1f}s, sites={dev['num_sites']}, "
+        f"rss dev {dev['max_rss_mb']:.0f}MB host {host['max_rss_mb']:.0f}MB"
     )
 
     if oracle is not None:
@@ -600,6 +584,19 @@ def main() -> None:
             log(f"bam stream bench failed: {r.stderr[-300:]}")
     except Exception as e:
         log(f"bam stream bench failed: {e}")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_tree.py"),
+             "60000"],
+            capture_output=True, timeout=2400, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            details["tree_mode"] = json.loads(r.stdout.strip().splitlines()[-1])
+            log(f"tree mode: {details['tree_mode']}")
+        else:
+            log(f"tree mode bench failed: {r.stderr[-300:]}")
+    except Exception as e:
+        log(f"tree mode bench failed: {e}")
     details["notes"] = (
         "EM dispatch: host native for one-shot B<=config.EM_HOST_MAX_B "
         "(measured crossover ~800 incl. jit compile through the axon "

@@ -56,6 +56,7 @@ class MutResult:
     is_ancient: bool
     ep_null: int
     timings: dict
+    em_provider: str = ""  # which EM backend ran (native/jax:*/pallas:*)
 
 
 def resolve_tmp_inputs(cfg: MutRunConfig):
@@ -512,6 +513,7 @@ def finish_from_suffstats(
         is_ancient=is_ancient,
         ep_null=ep_null,
         timings=timings,
+        em_provider=provider,
     )
 
 

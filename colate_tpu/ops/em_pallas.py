@@ -174,7 +174,7 @@ def _make_kernel(E: int, N: int, K: int, C: int):
         enext3 = enext_col[None, :, :]
         islast3 = islast_col[None, :, :]
 
-        def e_step_chunk(c, tabs, write_ll):
+        def e_step_chunk(c, tabs):
             lam, H, S, P, T1, inv_lam, em1_full = tabs
             # c is i32 (the chunk fori_loop uses i32 bounds) and C is a
             # weak-typed Python int, so the offset stays i32 under x64;
@@ -289,16 +289,18 @@ def _make_kernel(E: int, N: int, K: int, C: int):
             den_c = jnp.sum(
                 sc_c[:, None, :] * den_s + nc_c[:, None, :] * den_n, axis=0
             )
-            if write_ll:
-                logl_s = jnp.where(
-                    guard_s, jnp.log(jnp.where(guard_s, Z_s, 1.0)), 0.0
-                )
-                logl_n = jnp.where(
-                    guard_n,
-                    jnp.log(jnp.where(guard_n, zrel, 1.0)) - H_t,
-                    0.0,
-                )
-                wsum_ref[sl, :] = sc_c * logl_s + nc_c * logl_n
+            # per-bin weighted logl terms, overwritten every iteration —
+            # after the loop the buffer holds the K-th E-step's values
+            # (the stopping rule reads only the final iteration's logl)
+            logl_s = jnp.where(
+                guard_s, jnp.log(jnp.where(guard_s, Z_s, 1.0)), 0.0
+            )
+            logl_n = jnp.where(
+                guard_n,
+                jnp.log(jnp.where(guard_n, zrel, 1.0)) - H_t,
+                0.0,
+            )
+            wsum_ref[sl, :] = sc_c * logl_s + nc_c * logl_n
             return num_c, den_c
 
         def m_step(rates, num_tot, den_tot):
@@ -311,36 +313,25 @@ def _make_kernel(E: int, N: int, K: int, C: int):
             chosen = jnp.where(den_pos, ratio, rates)
             return _forward_fill(chosen, num_tot != 0, axis=0)
 
-        def iteration(rates, write_ll):
+        def iteration(_, rates):
             tabs = _epoch_tables_t(
                 rates, epochs_col, dt_col, enext_col, islast_col
             )
 
             def chunk_body(c, acc):
                 num_tot, den_tot = acc
-                num_c, den_c = e_step_chunk(c, tabs, write_ll)
+                num_c, den_c = e_step_chunk(c, tabs)
                 return num_tot + num_c, den_tot + den_c
 
             zero = jnp.zeros(rates.shape, jnp.float32)
-            if write_ll:
-                # unrolled: wsum_ref writes need static chunk offsets on
-                # some Mosaic versions; n_chunks is tiny (5)
-                num_tot, den_tot = zero, zero
-                for c in range(n_chunks):
-                    num_c, den_c = e_step_chunk(c, tabs, True)
-                    num_tot, den_tot = num_tot + num_c, den_tot + den_c
-            else:
-                num_tot, den_tot = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(n_chunks), chunk_body, (zero, zero)
-                )
+            num_tot, den_tot = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n_chunks), chunk_body, (zero, zero)
+            )
             return m_step(rates, num_tot, den_tot)
 
-        rates = rates_ref[:]
-        rates = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(K - 1), lambda _, r: iteration(r, False),
-            rates,
+        rates_out_ref[:] = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(K), iteration, rates_ref[:]
         )
-        rates_out_ref[:] = iteration(rates, True)
 
     return kernel
 
