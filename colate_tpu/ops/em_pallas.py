@@ -472,8 +472,7 @@ def em_chunk_pallas(epochs, rates, sc_T, nc_T, K: int, interpret: bool = False):
     return rates_out[:, :B].T, ll
 
 
-@functools.lru_cache(maxsize=8)
-def _run_em_pallas_jit(
+def make_run_fn(
     epochs_key: bytes,
     E: int,
     Bp: int,
@@ -482,15 +481,20 @@ def _run_em_pallas_jit(
     min_iter: int,
     interpret: bool,
 ):
-    """Jitted EM-to-convergence loop around the fused Pallas step.
+    """Traceable EM-to-convergence loop around the fused Pallas step.
 
     Mirrors ops/em.py:run_em's chunked stopping rule exactly: per-chunk
     convergence ratio 1 - K*(1-EM_CONV_RATIO), replicate freezing, f64
-    log-likelihood accumulation (coal.cpp:3686-3825 semantics)."""
+    log-likelihood accumulation (coal.cpp:3686-3825 semantics).
+
+    Returns run(rates_T [E,Bp] f32, sc_p [N,Bp] f32, nc_p [N,Bp] f32,
+    conv0 [Bp] bool) -> (rates_T [E,Bp] f32, ll [Bp] f64, iters [Bp]
+    i32).  Not jitted — usable directly inside shard_map (each device
+    runs the kernel on its local bootstrap shard; see
+    parallel/mesh.py:sharded_run_em)."""
     step, _N = _pallas_step(epochs_key, E, Bp, K, interpret)
     conv_ratio = 1.0 - K * (1.0 - EM_CONV_RATIO)
 
-    @jax.jit
     def run(rates_T, sc_p, nc_p, conv0):
         f64 = jnp.float64
         zero_b = jnp.zeros((Bp,), f64)
@@ -521,6 +525,22 @@ def _run_em_pallas_jit(
         return rates, ll, iters
 
     return run
+
+
+@functools.lru_cache(maxsize=8)
+def _run_em_pallas_jit(
+    epochs_key: bytes,
+    E: int,
+    Bp: int,
+    K: int,
+    max_iter: int,
+    min_iter: int,
+    interpret: bool,
+):
+    """Jit-compiled single-device entry around :func:`make_run_fn`."""
+    return jax.jit(
+        make_run_fn(epochs_key, E, Bp, K, max_iter, min_iter, interpret)
+    )
 
 
 def run_em_pallas(

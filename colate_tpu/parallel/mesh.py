@@ -145,30 +145,87 @@ def _sharded_bin_fn(mesh, num_blocks: int, age: float):
 
 
 def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
-                   max_iter: int | None = None):
+                   max_iter: int | None = None, backend: str = "xla",
+                   min_iter: int | None = None, interpret: bool = False):
     """Bootstrap-parallel EM: shard replicates over the mesh.
 
     shared/notshared_counts: [B, nbins] host arrays.  B is padded to a
     multiple of the mesh size (padded replicates see the replicate-0
     counts and are discarded).  Returns (rates [B,E], logl [B], iters [B]).
+
+    backend="xla" runs ops/em.py:run_em per shard (f64 reference
+    numerics).  backend="pallas" runs the fused f32 TPU kernel
+    (ops/em_pallas.py) on each device's local bootstrap shard — the
+    kernel's 128-lane grid simply becomes per-device, so an N-chip mesh
+    runs N kernels concurrently with no cross-device traffic until the
+    final all_gather (``interpret=True`` for CPU test meshes).
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
 
-    from colate_tpu.config import EM_MAX_ITER
+    from colate_tpu.config import EM_MAX_ITER, EM_MIN_ITER
     from colate_tpu.ops.em import run_em
 
     nd = mesh.devices.size
     B = shared_counts.shape[0]
+    mi = max_iter if max_iter is not None else EM_MAX_ITER
+    mn = min_iter if min_iter is not None else EM_MIN_ITER
+    sh_b = NamedSharding(mesh, P("d"))
+    rep = NamedSharding(mesh, P())
+
+    if backend == "pallas":
+        from colate_tpu.ops.em_pallas import _pad_width, make_run_fn
+
+        ep64 = np.asarray(epochs, np.float64)
+        E = int(ep64.shape[0])
+        # every device's local shard is lane-padded to the same width
+        Bl = _pad_width((B + nd - 1) // nd)
+        B_pad = Bl * nd
+        sc = _pad_to(np.asarray(shared_counts, np.float32), B_pad)
+        nc = _pad_to(np.asarray(notshared_counts, np.float32), B_pad)
+        conv0 = np.arange(B_pad) >= B  # padding lanes start converged
+        run = make_run_fn(
+            ep64.tobytes(), E, Bl, 8, int(mi), int(mn), interpret
+        )
+
+        def local_em(ir, s, n, c0):
+            # [Bl, ...] local shard -> kernel's transposed layout
+            rates_T = jnp.broadcast_to(
+                ir.astype(jnp.float32)[:, None], (E, Bl)
+            )
+            r_T, ll, iters = run(rates_T, s.T, n.T, c0)
+            return r_T.T, ll, iters
+
+        mapped = shard_map(
+            local_em,
+            mesh=mesh,
+            in_specs=(P(), P("d"), P("d"), P("d")),
+            out_specs=(P("d"), P("d"), P("d")),
+            # pallas_call's out_shape carries no vma annotation; the
+            # kernel is purely local so the varying-axis check adds
+            # nothing here
+            check_vma=False,
+        )
+        rates, logl, iters = jax.jit(mapped)(
+            jax.device_put(np.asarray(init_rates), rep),
+            jax.device_put(sc, sh_b),
+            jax.device_put(nc, sh_b),
+            jax.device_put(conv0, sh_b),
+        )
+        return (
+            np.asarray(rates)[:B].astype(np.asarray(epochs).dtype),
+            np.asarray(logl)[:B],
+            np.asarray(iters)[:B],
+        )
+
     B_pad = ((B + nd - 1) // nd) * nd
     sc = _pad_to(np.asarray(shared_counts, np.float64), B_pad)
     nc = _pad_to(np.asarray(notshared_counts, np.float64), B_pad)
     if B_pad > B:
         sc[B:] = sc[0]
         nc[B:] = nc[0]
-    mi = max_iter if max_iter is not None else EM_MAX_ITER
 
     def local_em(ep, ir, s, n):
         return run_em(ep, ir, s, n, max_iter=mi)
@@ -179,8 +236,6 @@ def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
         in_specs=(P(), P(), P("d"), P("d")),
         out_specs=(P("d"), P("d"), P("d")),
     )
-    sh_b = NamedSharding(mesh, P("d"))
-    rep = NamedSharding(mesh, P())
     rates, logl, iters = jax.jit(mapped)(
         jax.device_put(np.asarray(epochs), rep),
         jax.device_put(np.asarray(init_rates), rep),
