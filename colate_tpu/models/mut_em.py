@@ -485,13 +485,26 @@ def finish_from_suffstats(
                         rates = None
             if rates is None:
                 provider = f"jax:{em_dtype}"
-                rates, logl, iters = run_em(
-                    jnp.asarray(epochs),
-                    jnp.asarray(init_rates),
-                    jnp.asarray(shared_counts),
-                    jnp.asarray(notshared_counts),
-                    dtype=em_dtype,
-                )
+                import contextlib
+
+                import jax
+
+                ctx = contextlib.nullcontext()
+                if em_dtype == "float64" and jax.default_backend() != "cpu":
+                    # f64 EMs (parity path) run on the local CPU backend:
+                    # the TPU has no native f64 units, and on
+                    # remote-compile platforms the device compile queue
+                    # can stall an otherwise host-bound parity run
+                    ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+                    provider = "jax:float64(cpu)"
+                with ctx:
+                    rates, logl, iters = run_em(
+                        jnp.asarray(epochs),
+                        jnp.asarray(init_rates),
+                        jnp.asarray(shared_counts),
+                        jnp.asarray(notshared_counts),
+                        dtype=em_dtype,
+                    )
     rates = np.asarray(rates)
     logl = np.asarray(logl)
     iters = np.asarray(iters)

@@ -25,7 +25,10 @@
 // X in {A,C,G,T,0} and Y in {A,C,G,T,1}.
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
+#include <deque>
+#include <mutex>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -1308,40 +1311,89 @@ void* cn_tmptmp_fused_stream(
       h_ne(n_chr);
   std::vector<int64_t> blocks(n_chr, 0);
 
-  ColateRun t_run, r_run, t_next, r_next;
-  auto fetch = [&](int c, ColateRun* tdst, ColateRun* rdst) {
-    tr.seek_run(want[c], tdst);
-    rr.seek_run(want[c], rdst);
+  // two reader threads (one per file — the two stream cursors are
+  // independent) fill per-chromosome slots; a worker pool claims a
+  // chromosome as soon as BOTH its runs are decoded and joins+bins it.
+  // Per-chromosome output slots keep the result bit-identical to the
+  // serial loop; readers stay at most `max_ahead` chromosomes past the
+  // last completed join, bounding peak memory to a few chromosomes'
+  // columns per stream.
+  std::vector<ColateRun> t_slots(n_chr), r_slots(n_chr);
+  std::mutex mu;
+  std::condition_variable cv;
+  int t_ready = 0, r_ready = 0;  // chromosomes decoded per stream
+  int next_c = 0;                // next chromosome to claim for joining
+  int joined = 0;                // completed joins (gates the readers)
+  const int max_ahead = 3;
+  std::atomic<int64_t> total_sites{0};
+  unsigned hw = std::thread::hardware_concurrency();
+  const int n_workers = (int)std::min<unsigned>(hw ? hw : 2, 4);
+
+  auto read_fn = [&](ColateInRunReader* rd, std::vector<ColateRun>* slots,
+                     int* ready) {
+    for (int c = 0; c < n_chr; c++) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return c < joined + max_ahead; });
+      }
+      rd->seek_run(want[c], &(*slots)[c]);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        *ready = c + 1;
+      }
+      cv.notify_all();
+    }
   };
-  std::thread pre;
-  if (n_chr) fetch(0, &t_run, &r_run);
-  for (int c = 0; c < n_chr; c++) {
-    if (c + 1 < n_chr)
-      pre = std::thread(fetch, c + 1, &t_next, &r_next);
-    FusedChrom fc;
-    fused_join_chrom(
-        pf->rows[c], t_run.bp.data(), t_run.anc.data(), t_run.der.data(),
-        t_run.aaf.data(), t_run.daf.data(), (int64_t)t_run.bp.size(), 0,
-        (int64_t)t_run.bp.size(), r_run.bp.data(), r_run.anc.data(),
-        r_run.der.data(), r_run.aaf.data(), r_run.daf.data(),
-        (int64_t)r_run.bp.size(), 0, (int64_t)r_run.bp.size(), ref_age, nbpb,
-        &fc);
-    blocks[c] = fc.blocks_used;
-    const size_t hn = (size_t)fc.blocks_used * nbins;
-    h_sh[c].assign(hn, 0.0);
-    h_ns[c].assign(hn, 0.0);
-    h_se[c].assign(hn, 0.0);
-    h_ne[c].assign(hn, 0.0);
-    out->num_sites += fc.num_sites;
-    if (fc.num_sites)
-      cn_bin_analytic(fc.num_sites, fc.ab.data(), fc.ae.data(), fc.ws.data(),
-                      fc.wn.data(), fc.blk.data(), fc.blocks_used, nbins,
-                      edges, age, bin_c, h_sh[c].data(), h_ns[c].data(),
-                      h_se[c].data(), h_ne[c].data());
-    if (pre.joinable()) pre.join();
-    std::swap(t_run, t_next);
-    std::swap(r_run, r_next);
-  }
+
+  auto worker = [&]() {
+    for (;;) {
+      int c;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          return next_c >= n_chr ||
+                 next_c < std::min(t_ready, r_ready);
+        });
+        if (next_c >= n_chr) return;
+        c = next_c++;
+      }
+      // move out so the slot's memory is released when `t`/`r` die
+      ColateRun t = std::move(t_slots[c]);
+      ColateRun r = std::move(r_slots[c]);
+      FusedChrom fc;
+      fused_join_chrom(
+          pf->rows[c], t.bp.data(), t.anc.data(), t.der.data(), t.aaf.data(),
+          t.daf.data(), (int64_t)t.bp.size(), 0, (int64_t)t.bp.size(),
+          r.bp.data(), r.anc.data(), r.der.data(), r.aaf.data(), r.daf.data(),
+          (int64_t)r.bp.size(), 0, (int64_t)r.bp.size(), ref_age, nbpb, &fc);
+      blocks[c] = fc.blocks_used;
+      const size_t hn = (size_t)fc.blocks_used * nbins;
+      h_sh[c].assign(hn, 0.0);
+      h_ns[c].assign(hn, 0.0);
+      h_se[c].assign(hn, 0.0);
+      h_ne[c].assign(hn, 0.0);
+      total_sites += fc.num_sites;
+      if (fc.num_sites)
+        cn_bin_analytic(fc.num_sites, fc.ab.data(), fc.ae.data(),
+                        fc.ws.data(), fc.wn.data(), fc.blk.data(),
+                        fc.blocks_used, nbins, edges, age, bin_c,
+                        h_sh[c].data(), h_ns[c].data(), h_se[c].data(),
+                        h_ne[c].data());
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        joined++;
+      }
+      cv.notify_all();
+    }
+  };
+  std::thread rt(read_fn, &tr, &t_slots, &t_ready);
+  std::thread rrt(read_fn, &rr, &r_slots, &r_ready);
+  std::vector<std::thread> workers;
+  for (int i = 0; i < n_workers; i++) workers.emplace_back(worker);
+  rt.join();
+  rrt.join();
+  for (auto& w : workers) w.join();
+  out->num_sites = total_sites;
   delete pf;
 
   for (int c = 0; c < n_chr; c++) out->num_blocks += blocks[c];
