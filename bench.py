@@ -511,7 +511,48 @@ def bench_whole_genome(fix, details: dict, oracle: str | None) -> None:
     details["whole_genome_B1024"] = entry
 
 
+def _run_section(section: str, timeout: int) -> dict | None:
+    """Run one device-bench section in a fresh subprocess (with one
+    retry): a wedged device session or compile request then costs a
+    bounded timeout instead of the whole bench run."""
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", section],
+                capture_output=True, timeout=timeout, text=True,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode == 0 and r.stdout.strip():
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            log(f"section {section} attempt {attempt} rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"section {section} attempt {attempt} timed out ({timeout}s)")
+        except Exception as e:
+            log(f"section {section} attempt {attempt} failed: {e}")
+    return None
+
+
+def _section_main(section: str) -> None:
+    fix = ensure_fixture()
+    oracle = "/tmp/refbin/Colate" if os.path.exists("/tmp/refbin/Colate") else None
+    details: dict = {}
+    if section == "em":
+        bench_em_batched(fix, details, oracle)
+    elif section == "binning":
+        bench_binning(details)
+    elif section == "wg":
+        wg_fix = ensure_wg_fixture()
+        bench_whole_genome(wg_fix, details, oracle)
+    else:
+        raise SystemExit(f"unknown section {section}")
+    print(json.dumps(details))
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        _section_main(sys.argv[2])
+        return
     fix = ensure_fixture()
     oracle = ensure_oracle()
 
@@ -558,19 +599,30 @@ def main() -> None:
             "stages": {k: round(v, 3) for k, v in timings.items()},
         }
     }
+    # sections that fail (e.g. a degraded device tunnel) keep their last
+    # recorded numbers, marked stale, instead of vanishing from the file
+    prev: dict = {}
     try:
-        bench_em_batched(fix, details, oracle)
-    except Exception as e:
-        log(f"EM batched bench failed: {e}")
-    try:
-        wg_fix = ensure_wg_fixture()
-        bench_whole_genome(wg_fix, details, oracle)
-    except Exception as e:
-        log(f"whole-genome bench failed: {e}")
-    try:
-        bench_binning(details)
-    except Exception as e:
-        log(f"binning bench failed: {e}")
+        with open(os.path.join(REPO, "BENCH_DETAILS.json")) as fh:
+            prev = json.load(fh)
+    except Exception:
+        pass
+    section_keys = {
+        "em": ("em_B128", "em_B1024"),
+        "wg": ("whole_genome_B1024",),
+        "binning": ("binning_10M",),
+    }
+    for section, timeout in (("em", 2400), ("wg", 3600), ("binning", 1200)):
+        got = _run_section(section, timeout)
+        if got is not None:
+            details.update(got)
+        else:
+            log(f"section {section} produced no result")
+            for k in section_keys[section]:
+                if k in prev:
+                    entry = dict(prev[k])
+                    entry["stale"] = "carried over: section failed this run"
+                    details[k] = entry
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_bam_stream.py"),
@@ -584,6 +636,10 @@ def main() -> None:
             log(f"bam stream bench failed: {r.stderr[-300:]}")
     except Exception as e:
         log(f"bam stream bench failed: {e}")
+    if "bam_stream" not in details and "bam_stream" in prev:
+        details["bam_stream"] = dict(
+            prev["bam_stream"], stale="carried over: section failed this run"
+        )
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_tree.py"),
@@ -597,6 +653,10 @@ def main() -> None:
             log(f"tree mode bench failed: {r.stderr[-300:]}")
     except Exception as e:
         log(f"tree mode bench failed: {e}")
+    if "tree_mode" not in details and "tree_mode" in prev:
+        details["tree_mode"] = dict(
+            prev["tree_mode"], stale="carried over: section failed this run"
+        )
     details["notes"] = (
         "EM dispatch: host native for one-shot B<=config.EM_HOST_MAX_B "
         "(measured crossover ~800 incl. jit compile through the axon "
