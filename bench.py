@@ -623,23 +623,29 @@ def main() -> None:
                     entry = dict(prev[k])
                     entry["stale"] = "carried over: section failed this run"
                     details[k] = entry
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "bench_bam_stream.py"),
-             "2000000"],
-            capture_output=True, timeout=1200, text=True,
-        )
-        if r.returncode == 0 and r.stdout.strip():
-            details["bam_stream"] = json.loads(r.stdout.strip().splitlines()[-1])
-            log(f"bam stream: {details['bam_stream']}")
-        else:
-            log(f"bam stream bench failed: {r.stderr[-300:]}")
-    except Exception as e:
-        log(f"bam stream bench failed: {e}")
-    if "bam_stream" not in details and "bam_stream" in prev:
-        details["bam_stream"] = dict(
-            prev["bam_stream"], stale="carried over: section failed this run"
-        )
+    # Two BAM sizes: the reference is beaten at BOTH the small (2M reads /
+    # 264 MB) and large (11M reads / 1.45 GB) workloads; fixtures are cached
+    # in /tmp/colate_bam_bench so the large run only pays generation once.
+    for key, n_reads, to in (("bam_stream", 2_000_000, 1200),
+                             ("bam_stream_11m", 11_000_000, 2400)):
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "bench_bam_stream.py"),
+                 str(n_reads)],
+                capture_output=True, timeout=to, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                details[key] = json.loads(r.stdout.strip().splitlines()[-1])
+                log(f"{key}: {details[key]}")
+            else:
+                log(f"{key} bench failed: {r.stderr[-300:]}")
+        except Exception as e:
+            log(f"{key} bench failed: {e}")
+        if key not in details and key in prev:
+            details[key] = dict(
+                prev[key], stale="carried over: section failed this run"
+            )
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_tree.py"),

@@ -116,7 +116,7 @@ def _cond_args(prefix, chrfile, pop, out, groups="FOC,CON", boots=1):
 
 
 @pytest.mark.oracle
-def test_cond_coal_rates_byte_parity_at_scale(tmp_path):
+def test_cond_coal_rates_byte_parity_at_scale(oracle, tmp_path):
     """3000 trees, bootstrap: the native kernel's float32 accumulation
     order must reproduce the binary BYTE-FOR-BYTE (the f32 rounding
     pattern over millions of scalar adds is observable output)."""
