@@ -663,6 +663,23 @@ def main() -> None:
         details["tree_mode"] = dict(
             prev["tree_mode"], stale="carried over: section failed this run"
         )
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_aux.py"),
+             "50000"],
+            capture_output=True, timeout=2400, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            details["aux_modes"] = json.loads(r.stdout.strip().splitlines()[-1])
+            log(f"aux modes: {details['aux_modes']}")
+        else:
+            log(f"aux modes bench failed: {r.stderr[-300:]}")
+    except Exception as e:
+        log(f"aux modes bench failed: {e}")
+    if "aux_modes" not in details and "aux_modes" in prev:
+        details["aux_modes"] = dict(
+            prev["aux_modes"], stale="carried over: section failed this run"
+        )
     details["notes"] = (
         "EM dispatch: host native for one-shot B<=config.EM_HOST_MAX_B "
         "(measured crossover ~800 incl. jit compile through the axon "

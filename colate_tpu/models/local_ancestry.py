@@ -115,14 +115,23 @@ def _children(anc: AncFile):
     return ch
 
 
+# device dispatch threshold: below this many node rows the one-shot
+# jit/transfer overhead (seconds through a tunnel-attached chip)
+# dominates and the host prefix-sum path wins; the device kernel is the
+# mesh-scale / multi-host path (force with COLATE_LA_BACKEND=device)
+_DEVICE_MIN_NODES = 1 << 24
+
+
 class CoalLA:
-    def __init__(self, epochs: np.ndarray, num_groups: int, max_blocks: int = 256):
+    def __init__(self, epochs: np.ndarray, num_groups: int, max_blocks: int = 256,
+                 backend: str = "auto"):
         self.epochs = epochs
         self.G = num_groups
         self.E = epochs.shape[0]
         self.num = np.zeros((max_blocks, num_groups, num_groups, self.E))
         self.denom = np.zeros((max_blocks, num_groups, num_groups, self.E))
         self.num_blocks = 0
+        self.backend = backend
 
     def _ensure_blocks(self, needed: int) -> None:
         """Grow the block accumulators on demand (no fixed cap)."""
@@ -255,15 +264,45 @@ class CoalLA:
                     blks_all[sel], sample_ages, ancient=True,
                 )
         else:
-            # one batched pass over ALL items (chunked for memory)
-            chunk = max(1, (1 << 24) // max(M * G, 1))
-            for i in range(0, trees_all.shape[0], chunk):
-                sl = slice(i, i + chunk)
-                self._accumulate_items(
-                    anc, coords, ch, internal, None,
-                    seg_onehots[segs_all[sl]], trees_all[sl], ws_all[sl],
-                    blks_all[sl], sample_ages, ancient=False,
-                )
+            # modern fast path: prefix-sum kernel (ops/la_kernel.py),
+            # batched over ALL (tree, segment) items of the chromosome
+            from colate_tpu.ops.la_kernel import (
+                la_accumulate_device,
+                la_accumulate_host,
+                la_accumulate_native,
+                pair_keys,
+            )
+
+            S = trees_all.shape[0]
+            backend = self.backend
+            if backend == "auto":
+                backend = "device" if S * M >= _DEVICE_MIN_NODES else "native"
+            seg_labs = np.stack(
+                [np.asarray(grp[:N], np.int32) for (_, grp) in segments]
+            )
+            lab_all = seg_labs[segs_all]  # [S, N]
+            parent_all = np.asarray(anc.parent[trees_all], np.int32)
+            ages_all = coords[trees_all][:, internal]
+            c1_all = np.asarray(ch[trees_all][:, internal, 0], np.int32)
+            c2_all = np.asarray(ch[trees_all][:, internal, 1], np.int32)
+            blocks_local = np.asarray(trees_all // BLOCK_SIZE_TREES, np.int32)
+            nb_local = T // BLOCK_SIZE_TREES + 1
+            kargs = (
+                parent_all, ages_all, lab_all, c1_all, c2_all, ws_all,
+                blocks_local, epochs, G, nb_local,
+            )
+            out = None
+            if backend == "device":
+                out = la_accumulate_device(*kargs)
+            elif backend != "numpy":  # "auto"/"native": prefer the C++ twin
+                out = la_accumulate_native(*kargs)
+            if out is None:
+                out = la_accumulate_host(*kargs)
+            num_b, den_b = out  # [nb, E, P]
+            sl = slice(block0, block0 + nb_local)
+            for ki, (p, q) in enumerate(pair_keys(G)):
+                self.num[sl, p, q, :] += num_b[:, :, ki]
+                self.denom[sl, p, q, :] += den_b[:, :, ki]
 
         self.num_blocks = block0 + T // BLOCK_SIZE_TREES + 1
 
@@ -478,11 +517,15 @@ def run_local_ancestry(args) -> int:
 
     unique_groups, seg_rows = _read_la_poplabels(args.poplabels)
     B = args.num_bootstraps or 1
+    import os as _os
+    backend = getattr(args, "backend", None) or _os.environ.get(
+        "COLATE_LA_BACKEND", "auto"
+    )
 
     if unique_groups is None:
         sample = Sample.read(args.poplabels)
         unique_groups = sample.groups
-        est = CoalLA(epochs, len(unique_groups))
+        est = CoalLA(epochs, len(unique_groups), backend=backend)
         for ci, (c, f) in enumerate(zip(chroms, files)):
             anc = AncFile.read(f + ".anc")
             mut = MutTable.read(f + ".mut")
@@ -492,7 +535,7 @@ def run_local_ancestry(args) -> int:
             ]
             est.add_chromosome(anc, mut, segs, is_global_tail=(ci == len(chroms) - 1))
     else:
-        est = CoalLA(epochs, len(unique_groups))
+        est = CoalLA(epochs, len(unique_groups), backend=backend)
         tail_chrom = seg_rows[-1][0]
         for c, f in zip(chroms, files):
             anc = AncFile.read(f + ".anc")

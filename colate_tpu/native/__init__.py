@@ -22,7 +22,7 @@ _lib = None
 _tried = False
 
 
-_SOURCES = ("io.cpp", "em.cpp", "hts.cpp", "cond.cpp")
+_SOURCES = ("io.cpp", "em.cpp", "hts.cpp", "cond.cpp", "la.cpp")
 
 
 def _build() -> bool:
@@ -205,6 +205,12 @@ def load():
     lib.cn_tree_coords.restype = ctypes.c_int
     lib.cn_tree_coords.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, P, P, P, P
+    ]
+    lib.cn_la_accumulate.restype = None
+    lib.cn_la_accumulate.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, P, P, P, P, P, P, P, P,
+        ctypes.c_int64, ctypes.c_int32, P, P,
     ]
     _lib = lib
     return _lib

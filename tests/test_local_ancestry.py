@@ -199,3 +199,53 @@ def test_local_ancestry_scale_identical(tmp_path):
     with open(str(tmp_path / "our.coal")) as fh:
         ours = fh.read()
     assert ref == ours
+
+
+def test_la_kernel_device_matches_host(la_fixture, tmp_path):
+    """The jitted LA kernel (ops/la_kernel.py), its NumPy twin, and the
+    native C++ twin (native/la.cpp) must agree to f64 noise, segment
+    format and 4-column alike."""
+    pytest.importorskip("jax")
+    for pop in ("seg", "pop4"):
+        outs = {}
+        for backend in ("numpy", "device", "native"):
+
+            class Args:
+                input = la_fixture["prefix"]
+                chr_file = la_fixture["chrfile"]
+                poplabels = la_fixture[pop]
+                bins = "2,6,0.5"
+                years_per_gen = None
+                num_bootstraps = 3
+                coal = None
+
+            Args.backend = backend
+            Args.output = str(tmp_path / f"la_{pop}_{backend}")
+            from colate_tpu.models.local_ancestry import run_local_ancestry
+
+            run_local_ancestry(Args)
+            with open(Args.output + ".coal") as fh:
+                outs[backend] = fh.read().splitlines()
+        for other in ("device", "native"):
+            assert len(outs["numpy"]) == len(outs[other])
+            for a, b in zip(outs["numpy"][2:], outs[other][2:]):
+                av = np.array([float(x) for x in a.split()[2:]])
+                bv = np.array([float(x) for x in b.split()[2:]])
+                m = np.isfinite(av)
+                np.testing.assert_array_equal(np.isfinite(bv), m)
+                np.testing.assert_allclose(bv[m], av[m], rtol=1e-12)
+
+
+@pytest.mark.oracle
+def test_local_ancestry_device_golden(la_fixture, tmp_path, monkeypatch):
+    """Full local_ancestry with the device kernel forced on stays within
+    golden tolerance of the reference CoalRate binary."""
+    pytest.importorskip("jax")
+    if not os.path.exists(REF_COALRATE):
+        pytest.skip("CoalRate oracle not built")
+    import colate_tpu.models.local_ancestry as la
+
+    monkeypatch.setattr(la, "_DEVICE_MIN_NODES", 0)  # force device dispatch
+    _run_ref(la_fixture, la_fixture["seg"], str(tmp_path / "ref_dev"))
+    _run_ours(la_fixture, la_fixture["seg"], str(tmp_path / "our_dev"))
+    _compare(str(tmp_path / "ref_dev.coal"), str(tmp_path / "our_dev.coal"))
