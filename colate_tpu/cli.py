@@ -72,6 +72,21 @@ def _build_parser() -> argparse.ArgumentParser:
                         "one BAM per chromosome (<target_bam>_chr<name>.bam) "
                         "instead of one multi-contig BAM (the reference's "
                         "parse_bamvcf layout, coal.cpp:1229-1510)")
+    p.add_argument("--devices", type=int,
+                   help="mode mut: shard bootstrap-EM over the first N "
+                        "local devices (parallel/mesh.py); default = "
+                        "single-device")
+    p.add_argument("--coordinator",
+                   help="multi-process mode mut: jax.distributed "
+                        "coordinator address host:port (launch one process "
+                        "per host with --num_processes/--process_id; "
+                        "chromosomes are sharded across processes and the "
+                        "sufficient statistics merged over DCN)")
+    p.add_argument("--num_processes", type=int,
+                   help="total process count for --coordinator runs "
+                        "(defaults to the JAX env vars / cloud autodetect)")
+    p.add_argument("--process_id", type=int,
+                   help="this process's rank for --coordinator runs")
     return p
 
 
@@ -143,7 +158,25 @@ def _dispatch(argv: list[str] | None = None) -> int:
             em_dtype=args.em_dtype,
             checkpoint=args.checkpoint,
             per_chr_bam=args.per_chr_bam,
+            devices=args.devices,
         )
+        if (
+            args.coordinator is not None
+            or args.num_processes is not None
+            or args.process_id is not None
+        ):
+            # pod/multi-host launch: every process runs this same command;
+            # rank 0 writes <output>.coal (parallel/multihost.py)
+            from colate_tpu.parallel.multihost import (
+                init_distributed,
+                run_mut_multihost,
+            )
+
+            init_distributed(
+                args.coordinator, args.num_processes, args.process_id
+            )
+            run_mut_multihost(cfg)
+            return 0
         run_mut_and_write(cfg)
         return 0
 

@@ -134,3 +134,6 @@ class MutRunConfig:
     # reference's parse_bamvcf layout (coal.cpp:1229-1510), whose CLI
     # dispatch is dead code there (coal.cpp:3273 commented out)
     per_chr_bam: bool = False
+    # shard the bootstrap-EM (and, when large enough, binning) over the
+    # first N local devices via parallel/mesh.py; None/1 = single-device
+    devices: int | None = None

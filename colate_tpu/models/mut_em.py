@@ -437,6 +437,42 @@ def finish_from_suffstats(
     out = None
     from colate_tpu.config import EM_HOST_MAX_B
 
+    if cfg.devices and cfg.devices > 1 and not parity:
+        # explicit mesh run (--devices N): bootstrap replicates are
+        # independent EM fixed-points, sharded over the first N local
+        # devices (parallel/mesh.py); pallas f32 kernel on TPU meshes,
+        # f64 XLA per-shard elsewhere
+        from colate_tpu.parallel.mesh import make_mesh, sharded_run_em
+
+        mesh = make_mesh(cfg.devices)
+        on_cpu = all(d.platform == "cpu" for d in mesh.devices.ravel())
+        use_pallas = (
+            em_dtype in ("auto", "float32")
+            and not on_cpu
+            and os.environ.get("COLATE_EM_PALLAS", "1") != "0"
+        )
+        rates, logl, iters = sharded_run_em(
+            mesh, epochs, init_rates, shared_counts, notshared_counts,
+            backend="pallas" if use_pallas else "xla",
+        )
+        provider = f"mesh[{mesh.devices.size}]:" + (
+            "pallas:float32" if use_pallas else "jax:float64"
+        )
+        rates = np.asarray(rates)
+        logl = np.asarray(logl)
+        iters = np.asarray(iters)
+        timings["em"] = time.time() - t0
+        from colate_tpu.utils.progress import log_event as _log
+
+        _log("mut_em", provider=provider, iters=int(np.max(iters)),
+             sec=round(timings["em"], 4))
+        return MutResult(
+            epochs=epochs, rates=rates, logl=logl, iterations=iters,
+            num_sites=num_sites, num_blocks=num_blocks,
+            is_ancient=is_ancient, ep_null=ep_null, timings=timings,
+            em_provider=provider,
+        )
+
     if em_dtype == "auto" and B <= EM_HOST_MAX_B and not parity:
         # One-shot host/device crossover measured at B ≈ 800 on a v5e
         # (see config.EM_HOST_MAX_B): below it the host provider

@@ -49,6 +49,15 @@ def init_distributed(
 
     if getattr(init_distributed, "_done", False):
         return
+    # The JAX_PLATFORMS env var is authoritative for distributed runs:
+    # site hooks (e.g. a TPU-plugin sitecustomize) may have overridden
+    # the jax_platforms *config* after env processing, which would
+    # silently bind the distributed runtime to the wrong backend.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     # Do NOT call any backend-initialising JAX API (jax.process_count(),
     # jax.devices(), ...) before jax.distributed.initialize(): touching the
     # backend first makes initialize() raise "must be called before any JAX
@@ -240,10 +249,14 @@ def run_mut_multihost(cfg: MutRunConfig):
 
     # downstream (bootstrap + EM) is deterministic given the merged
     # sufficient statistics — run replicated so every rank can serve the
-    # result; rank 0 writes
+    # result; rank 0 writes.  The seed MUST be forwarded: without it
+    # finish_from_suffstats re-derives time+pid per rank, so with
+    # cfg.seed=None the bootstrap weights would differ across ranks and
+    # break the "every process returns the identical MutResult"
+    # contract (the reference seeds once, coal.cpp:3157-3162).
     res = mut_em.finish_from_suffstats(
         cfg, sh_b, ns_b, se_b, ne_b, num_sites, total_blocks, timings,
-        write_outputs=(pid == 0),
+        seed=seed, write_outputs=(pid == 0),
     )
     if pid == 0:
         write_mut_coal(

@@ -26,8 +26,9 @@ _WORKER = textwrap.dedent(
     os.environ.pop("XLA_FLAGS", None)
     import jax
     jax.config.update("jax_platforms", "cpu")
-    pid, nproc, port, fixdir, out = (
-        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
+    pid, nproc, port, fixdir, out, seed = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+        sys.argv[6],
     )
     from colate_tpu.parallel.multihost import init_distributed, run_mut_multihost
     init_distributed(f"127.0.0.1:{port}", nproc, pid)
@@ -39,7 +40,7 @@ _WORKER = textwrap.dedent(
         target_tmp=os.path.join(fixdir, "target.colate.in"),
         reference_tmp=os.path.join(fixdir, "ref.colate.in"),
         bins="3,7,0.25",
-        seed=7,
+        seed=None if seed == "none" else int(seed),
         num_bootstrap=3,
         sampling="analytic",
     )
@@ -60,7 +61,7 @@ def fix(tmp_path_factory):
     return make_fixture(root, chroms=("1", "2", "3"), n_per_chrom=2000, seed=42)
 
 
-def _single_process(fix, out):
+def _single_process(fix, out, seed=7):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     code = textwrap.dedent(
@@ -75,7 +76,7 @@ def _single_process(fix, out):
             mut={fix['mut_prefix']!r}, output={out!r},
             chr_list=["1", "2", "3"],
             target_tmp={fix['target']!r}, reference_tmp={fix['reference']!r},
-            bins="3,7,0.25", seed=7, num_bootstrap=3, sampling="analytic",
+            bins="3,7,0.25", seed={seed!r}, num_bootstrap=3, sampling="analytic",
         )
         run_mut_and_write(cfg)
         """
@@ -86,18 +87,13 @@ def _single_process(fix, out):
     )
 
 
-def test_multihost_two_process_bit_parity(fix, tmp_path):
-    out1 = str(tmp_path / "single")
-    _single_process(fix, out1)
-
-    out2 = str(tmp_path / "multi")
+def _run_multihost(fix, out, port, seed):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
-    port = "29881"
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(i), "2", port,
-             fix["root"], out2],
+             fix["root"], out, seed],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for i in range(2)
@@ -107,6 +103,15 @@ def test_multihost_two_process_bit_parity(fix, tmp_path):
         so, se = p.communicate(timeout=600)
         assert p.returncode == 0, se.decode()[-2000:]
         outs.append(json.loads(so.decode().strip().splitlines()[-1]))
+    return outs
+
+
+def test_multihost_two_process_bit_parity(fix, tmp_path):
+    out1 = str(tmp_path / "single")
+    _single_process(fix, out1)
+
+    out2 = str(tmp_path / "multi")
+    outs = _run_multihost(fix, out2, "29881", "7")
 
     # both ranks report identical global statistics
     assert outs[0]["sites"] == outs[1]["sites"] > 0
@@ -118,6 +123,90 @@ def test_multihost_two_process_bit_parity(fix, tmp_path):
     with open(out2 + ".coal", "rb") as fh:
         multi = fh.read()
     assert single == multi  # byte-for-byte
+
+
+def test_multihost_seed_none_ranks_agree(fix, tmp_path):
+    """With --seed omitted the driver must still keep ranks identical:
+    run_mut_multihost pins seed=1 and forwards it to the bootstrap+EM
+    stage (the round-3 regression re-derived time+pid per rank)."""
+    out2 = str(tmp_path / "multi_noseed")
+    outs = _run_multihost(fix, out2, "29882", "none")
+    assert outs[0]["sites"] == outs[1]["sites"] > 0
+    assert outs[0]["rates0"] == outs[1]["rates0"]
+
+    # and the pinned default (seed=1) matches a seed=1 single run
+    out1 = str(tmp_path / "single_seed1")
+    _single_process(fix, out1, seed=1)
+    with open(out1 + ".coal", "rb") as fh:
+        single = fh.read()
+    with open(out2 + ".coal", "rb") as fh:
+        multi = fh.read()
+    assert single == multi
+
+
+def test_multihost_cli_two_process(fix, tmp_path):
+    """The distributed path is reachable from the Colate-compatible CLI:
+    two `colate_tpu --mode mut --coordinator ...` processes write the
+    same .coal as a single-process CLI run."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    chrfile = os.path.join(fix["root"], "chr.txt")
+    out1 = str(tmp_path / "cli_single")
+    base = [
+        sys.executable, "-m", "colate_tpu", "--mode", "mut",
+        "--mut", fix["mut_prefix"], "--chr", chrfile,
+        "--target_tmp", fix["target"], "--reference_tmp", fix["reference"],
+        "--bins", "3,7,0.25", "--seed", "7", "--num_bootstraps", "3",
+    ]
+    r = subprocess.run(base + ["-o", out1], env=env, capture_output=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    out2 = str(tmp_path / "cli_multi")
+    procs = [
+        subprocess.Popen(
+            base + ["-o", out2, "--coordinator", "127.0.0.1:29883",
+                    "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        _, se = p.communicate(timeout=600)
+        assert p.returncode == 0, se.decode()[-2000:]
+    with open(out1 + ".coal", "rb") as fh:
+        single = fh.read()
+    with open(out2 + ".coal", "rb") as fh:
+        multi = fh.read()
+    assert single == multi
+
+
+def test_cli_devices_flag(fix, tmp_path):
+    """--devices N shards the bootstrap-EM over an N-device mesh and
+    must reproduce the single-device rates (f64 XLA path on CPU)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    chrfile = os.path.join(fix["root"], "chr.txt")
+    base = [
+        sys.executable, "-m", "colate_tpu", "--mode", "mut",
+        "--mut", fix["mut_prefix"], "--chr", chrfile,
+        "--target_tmp", fix["target"], "--reference_tmp", fix["reference"],
+        "--bins", "3,7,0.25", "--seed", "7", "--num_bootstraps", "4",
+        "--em_dtype", "float64",
+    ]
+    out1 = str(tmp_path / "dev1")
+    out4 = str(tmp_path / "dev4")
+    r = subprocess.run(base + ["-o", out1], env=env, capture_output=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    r = subprocess.run(base + ["-o", out4, "--devices", "4"], env=env,
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    with open(out1 + ".coal") as fh:
+        single = fh.read()
+    with open(out4 + ".coal") as fh:
+        multi = fh.read()
+    assert single == multi
 
 
 def test_partition_chromosomes():
