@@ -93,6 +93,14 @@ extern "C" void cn_la_accumulate(
           double ov = std::min(a, epochs[e + 1]) - epochs[e];
           if (ov <= 0.0) {
             if (a <= epochs[e]) break;  // all later epochs are 0 too
+            // DELIBERATE divergence from the reference: coal_tree.cpp:515
+            // breaks at the FIRST zero denominator entry, so a
+            // degenerate zero-width epoch below the node's age drops
+            // all later epochs' exposure for that event.  Such grids
+            // only arise from a hand-edited --coal file with duplicate
+            // boundaries; we keep scanning so later (positive-width)
+            // epochs still accrue their true exposure.  All three
+            // backends (this, ops/la_kernel.py host+device) agree.
             continue;  // degenerate zero-width epoch: keep scanning
           }
           double wov = ws * ov;

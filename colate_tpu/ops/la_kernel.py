@@ -92,26 +92,35 @@ def _la_fn(S: int, M: int, N: int, G: int, E: int, nseg: int):
         cA = jnp.cumsum(scnt * sa[:, :, None], axis=1)
         total = ccnt[:, -1, :]  # [S, P]
 
-        # mass of ages <= each epoch edge (fused compare-and-count)
-        le = jnp.sum(
-            sa[:, :, None] <= epochs[None, None, :], axis=1, dtype=jnp.int32
-        )  # [S, E]
-        idx = jnp.clip(le - 1, 0, K - 1)[:, :, None]
-        has = (le > 0)[:, :, None]
-        cnt_at = jnp.where(has, jnp.take_along_axis(ccnt, idx, axis=1), 0.0)
-        A_at = jnp.where(has, jnp.take_along_axis(cA, idx, axis=1), 0.0)
-        # H(t) = Σ cnt·min(age, t)  ->  den[e] = H(ep[e+1]) − H(ep[e])
-        H = A_at + epochs[None, :, None] * (total[:, None, :] - cnt_at)
-        den = jnp.concatenate(
-            [H[:, 1:, :] - H[:, :-1, :], jnp.zeros((S, 1, P))], axis=1
-        )  # [S, E, P]; open epoch contributes 0 (reference sweep stops)
+        if E == 1:
+            # single-epoch grid: the one (open) epoch collects every
+            # event and accrues no exposure (reference sweep stops at
+            # the last edge) — the general concatenation below would
+            # build a zero-width middle term and fail to reshape
+            num = total[:, None, :]
+            den = jnp.zeros((S, 1, P))
+        else:
+            # mass of ages <= each epoch edge (fused compare-and-count)
+            le = jnp.sum(
+                sa[:, :, None] <= epochs[None, None, :], axis=1,
+                dtype=jnp.int32,
+            )  # [S, E]
+            idx = jnp.clip(le - 1, 0, K - 1)[:, :, None]
+            has = (le > 0)[:, :, None]
+            cnt_at = jnp.where(has, jnp.take_along_axis(ccnt, idx, axis=1), 0.0)
+            A_at = jnp.where(has, jnp.take_along_axis(cA, idx, axis=1), 0.0)
+            # H(t) = Σ cnt·min(age, t)  ->  den[e] = H(ep[e+1]) − H(ep[e])
+            H = A_at + epochs[None, :, None] * (total[:, None, :] - cnt_at)
+            den = jnp.concatenate(
+                [H[:, 1:, :] - H[:, :-1, :], jnp.zeros((S, 1, P))], axis=1
+            )  # [S, E, P]; open epoch contributes 0 (reference sweep stops)
 
-        m = cnt_at[:, 1:, :]  # cumulative event mass at epochs[1..E-1]
-        num = jnp.concatenate(
-            [m[:, :1, :], m[:, 1:, :] - m[:, :-1, :],
-             total[:, None, :] - m[:, -1:, :]],
-            axis=1,
-        )  # [S, E, P]
+            m = cnt_at[:, 1:, :]  # cumulative event mass at epochs[1..E-1]
+            num = jnp.concatenate(
+                [m[:, :1, :], m[:, 1:, :] - m[:, :-1, :],
+                 total[:, None, :] - m[:, -1:, :]],
+                axis=1,
+            )  # [S, E, P]
 
         wnum = (num * w[:, None, None]).reshape(S, E * P)
         wden = (den * w[:, None, None]).reshape(S, E * P)
@@ -196,13 +205,25 @@ def la_accumulate_native(
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """C++ twin (native/la.cpp): no multi-MB temporaries, threaded over
     items — the one-shot host fast path.  Returns None if the native
-    library is unavailable (callers fall back to the NumPy twin)."""
+    library is unavailable (callers fall back to the NumPy twin).
+
+    ``COLATE_LA_THREADS=<n>`` pins the thread count (the per-thread
+    partials are merged in thread order, so a fixed count fixes the f64
+    reduction order — byte-reproducible goldens across machines with
+    different core counts)."""
+    import os
+
     from colate_tpu import native
 
     lib = native.load()
     if lib is None:
         return None
     import ctypes
+
+    try:
+        nthreads = int(os.environ.get("COLATE_LA_THREADS", "0"))
+    except ValueError:
+        nthreads = 0
 
     S, M = parent.shape
     N = (M + 1) // 2
@@ -225,7 +246,7 @@ def la_accumulate_native(
     ep = c(epochs, dtype=np.float64)
     lib.cn_la_accumulate(
         S, M, N, num_groups, E, pp(pa), pp(ag), pp(lb), pp(cc1), pp(cc2),
-        pp(ww), pp(bb), pp(ep), nseg, 0, pp(num), pp(den),
+        pp(ww), pp(bb), pp(ep), nseg, nthreads, pp(num), pp(den),
     )
     return num, den
 
@@ -243,8 +264,13 @@ def la_accumulate_host(
     num_blocks: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """NumPy twin of :func:`la_accumulate_device` (same math, same
-    [nb, E, P] layout) — the host fast path and the kernel's oracle."""
-    S, M = parent.shape
+    [nb, E, P] layout) — the host fast path and the kernel's oracle.
+
+    Items stream through bounded chunks (~1<<24 scratch elements) so
+    peak memory stays flat regardless of chromosome length — this is
+    the auto-dispatch fallback when the native library is missing, and
+    must not regress the native path's bounded-RSS property."""
+    Sn, M = parent.shape
     N = (M + 1) // 2
     K = N - 1
     E = epochs.shape[0]
@@ -254,62 +280,80 @@ def la_accumulate_host(
     nseg = max(int(num_blocks), 1)
     num = np.zeros((nseg, E, P), np.float64)
     den = np.zeros((nseg, E, P), np.float64)
-    if S == 0:
+    if Sn == 0:
         return num, den
+    # the largest per-item temporaries are [S, M, G] and [S, K, E·P]
+    chunk = max(1, (1 << 24) // max(M * G, K * max(E * P, G * 2), 1))
 
-    C = np.zeros((S, M, G), np.float64)
-    C[np.arange(S)[:, None], np.arange(N)[None, :], lab] = 1.0
-    rows = np.arange(S)
-    for j in range(M - 1):
-        p = parent[:, j]
-        v = p >= 0
-        # one write per row per level (parents are unique within a row),
-        # so plain fancy-index += is safe and much faster than add.at
-        C[rows[v], p[v]] += C[v, j]
-    n1 = C[rows[:, None], c1]  # [S, K, G]
-    n2 = C[rows[:, None], c2]
-    cnt = np.empty((S, K, P), np.float64)
-    for ki, (p, q) in enumerate(keys):
-        if p == q:
-            cnt[:, :, ki] = n1[:, :, p] * n2[:, :, p]
+    for i0 in range(0, Sn, chunk):
+        sl = slice(i0, min(i0 + chunk, Sn))
+        par_c, ages_c, lab_c = parent[sl], ages[sl], lab[sl]
+        c1_c, c2_c, w_c, blk_c = c1[sl], c2[sl], w[sl], blocks[sl]
+        S = par_c.shape[0]
+
+        C = np.zeros((S, M, G), np.float64)
+        C[np.arange(S)[:, None], np.arange(N)[None, :], lab_c] = 1.0
+        rows = np.arange(S)
+        for j in range(M - 1):
+            p = par_c[:, j]
+            v = p >= 0
+            # one write per row per level (parents are unique within a
+            # row), so plain fancy-index += is safe and much faster
+            # than add.at
+            C[rows[v], p[v]] += C[v, j]
+        n1 = C[rows[:, None], c1_c]  # [S, K, G]
+        n2 = C[rows[:, None], c2_c]
+        cnt = np.empty((S, K, P), np.float64)
+        for ki, (p, q) in enumerate(keys):
+            if p == q:
+                cnt[:, :, ki] = n1[:, :, p] * n2[:, :, p]
+            else:
+                cnt[:, :, ki] = (
+                    n1[:, :, p] * n2[:, :, q] + n1[:, :, q] * n2[:, :, p]
+                )
+
+        order = np.argsort(ages_c, axis=1, kind="stable")
+        sa = np.take_along_axis(ages_c, order, axis=1)
+        scnt = np.take_along_axis(cnt, order[:, :, None], axis=1)
+        ccnt = np.cumsum(scnt, axis=1)
+        cA = np.cumsum(scnt * sa[:, :, None], axis=1)
+        total = ccnt[:, -1, :]
+
+        if E == 1:
+            # single (open) epoch: all events, no exposure — see _la_fn
+            num_i = total[:, None, :]
+            den_i = np.zeros((S, 1, P))
         else:
-            cnt[:, :, ki] = n1[:, :, p] * n2[:, :, q] + n1[:, :, q] * n2[:, :, p]
-
-    order = np.argsort(ages, axis=1, kind="stable")
-    sa = np.take_along_axis(ages, order, axis=1)
-    scnt = np.take_along_axis(cnt, order[:, :, None], axis=1)
-    ccnt = np.cumsum(scnt, axis=1)
-    cA = np.cumsum(scnt * sa[:, :, None], axis=1)
-    total = ccnt[:, -1, :]
-
-    le = (sa[:, :, None] <= epochs[None, None, :]).sum(axis=1)  # [S, E]
-    idx = np.clip(le - 1, 0, K - 1)[:, :, None]
-    has = (le > 0)[:, :, None]
-    cnt_at = np.where(has, np.take_along_axis(ccnt, idx, axis=1), 0.0)
-    A_at = np.where(has, np.take_along_axis(cA, idx, axis=1), 0.0)
-    H = A_at + epochs[None, :, None] * (total[:, None, :] - cnt_at)
-    den_i = np.concatenate(
-        [H[:, 1:, :] - H[:, :-1, :], np.zeros((S, 1, P))], axis=1
-    )
-    m = cnt_at[:, 1:, :]
-    num_i = np.concatenate(
-        [m[:, :1, :], m[:, 1:, :] - m[:, :-1, :],
-         total[:, None, :] - m[:, -1:, :]],
-        axis=1,
-    )
-    wnum = (num_i * w[:, None, None]).reshape(S, E * P)
-    wden = (den_i * w[:, None, None]).reshape(S, E * P)
-    if np.all(blocks[1:] >= blocks[:-1]):
-        # blocks follow tree order (nondecreasing): one reduceat pass
-        present = np.unique(blocks)
-        starts = np.searchsorted(blocks, present, side="left")
-        num[present] += np.add.reduceat(wnum, starts, axis=0).reshape(
-            present.size, E, P
-        )
-        den[present] += np.add.reduceat(wden, starts, axis=0).reshape(
-            present.size, E, P
-        )
-    else:
-        np.add.at(num, blocks, wnum.reshape(S, E, P))
-        np.add.at(den, blocks, wden.reshape(S, E, P))
+            le = (sa[:, :, None] <= epochs[None, None, :]).sum(axis=1)
+            idx = np.clip(le - 1, 0, K - 1)[:, :, None]
+            has = (le > 0)[:, :, None]
+            cnt_at = np.where(
+                has, np.take_along_axis(ccnt, idx, axis=1), 0.0
+            )
+            A_at = np.where(has, np.take_along_axis(cA, idx, axis=1), 0.0)
+            H = A_at + epochs[None, :, None] * (total[:, None, :] - cnt_at)
+            den_i = np.concatenate(
+                [H[:, 1:, :] - H[:, :-1, :], np.zeros((S, 1, P))], axis=1
+            )
+            m = cnt_at[:, 1:, :]
+            num_i = np.concatenate(
+                [m[:, :1, :], m[:, 1:, :] - m[:, :-1, :],
+                 total[:, None, :] - m[:, -1:, :]],
+                axis=1,
+            )
+        wnum = (num_i * w_c[:, None, None]).reshape(S, E * P)
+        wden = (den_i * w_c[:, None, None]).reshape(S, E * P)
+        if np.all(blk_c[1:] >= blk_c[:-1]):
+            # blocks follow tree order (nondecreasing): one reduceat pass
+            present = np.unique(blk_c)
+            starts = np.searchsorted(blk_c, present, side="left")
+            num[present] += np.add.reduceat(wnum, starts, axis=0).reshape(
+                present.size, E, P
+            )
+            den[present] += np.add.reduceat(wden, starts, axis=0).reshape(
+                present.size, E, P
+            )
+        else:
+            np.add.at(num, blk_c, wnum.reshape(S, E, P))
+            np.add.at(den, blk_c, wden.reshape(S, E, P))
     return num, den

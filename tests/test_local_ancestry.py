@@ -206,9 +206,17 @@ def test_la_kernel_device_matches_host(la_fixture, tmp_path):
     native C++ twin (native/la.cpp) must agree to f64 noise, segment
     format and 4-column alike."""
     pytest.importorskip("jax")
+    from colate_tpu import native as _native
+
+    backends = ["numpy", "device"]
+    # without the native library the 'native' leg silently re-runs the
+    # NumPy twin and the comparison would pass vacuously — drop it
+    # (mirrors test_la_kernel.py's explicit skip)
+    if _native.load() is not None:
+        backends.append("native")
     for pop in ("seg", "pop4"):
         outs = {}
-        for backend in ("numpy", "device", "native"):
+        for backend in backends:
 
             class Args:
                 input = la_fixture["prefix"]
@@ -226,7 +234,7 @@ def test_la_kernel_device_matches_host(la_fixture, tmp_path):
             run_local_ancestry(Args)
             with open(Args.output + ".coal") as fh:
                 outs[backend] = fh.read().splitlines()
-        for other in ("device", "native"):
+        for other in backends[1:]:
             assert len(outs["numpy"]) == len(outs[other])
             for a, b in zip(outs["numpy"][2:], outs[other][2:]):
                 av = np.array([float(x) for x in a.split()[2:]])
