@@ -60,8 +60,18 @@ struct MutTableC {
   std::string header;
 };
 
+// Leave 8 NUL bytes of readable storage past out.size() so
+// word-at-a-time scanners may load one u64 straddling the logical end.
+inline void pad8(std::vector<char>& out) {
+  const size_t n = out.size();
+  out.resize(n + 8, '\0');
+  out.resize(n);  // shrinking keeps both the capacity and the NULs
+}
+
 // Slurp a file through zlib (transparently handles plain and gzip,
 // mirroring the reference's .gz fallback at mutations.cpp:263-266).
+// The returned buffer always has 8 readable NUL bytes past .size()
+// (see pad8) for SWAR scanners.
 bool slurp(const char* path, std::vector<char>& out, std::string& err) {
   std::string p = path;
   FILE* probe = fopen(p.c_str(), "rb");
@@ -81,7 +91,7 @@ bool slurp(const char* path, std::vector<char>& out, std::string& err) {
     if (fseek(probe, 0, SEEK_END) == 0) {
       long sz = ftell(probe);
       if (sz >= 0 && fseek(probe, 0, SEEK_SET) == 0) {
-        out.resize((size_t)sz);
+        out.resize((size_t)sz + 8);  // zero-fills (incl. the future pad)
         size_t n = fread(out.data(), 1, (size_t)sz, probe);
         fclose(probe);
         out.resize(n);
@@ -113,8 +123,109 @@ bool slurp(const char* path, std::vector<char>& out, std::string& err) {
   }
   gzclose(f);
   out.resize(n);
+  pad8(out);
   return true;
 }
+
+// SWAR byte-match: high bit set in every byte of x that is zero
+// (x = word XOR broadcast(delim) -> matches of delim).
+inline uint64_t zbyte_mask(uint64_t x) {
+  return (x - 0x0101010101010101ULL) & ~x & 0x8080808080808080ULL;
+}
+
+}  // namespace
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// Zero-copy read-only view of a file.  Page-cached inputs cost nothing
+// (the fread slurp moves ~1.3 GB/s on this class of host — a quarter of
+// the whole parse budget at genome scale).  The file pages are mapped
+// over an anonymous reservation one page larger, so there are ALWAYS
+// >= 8 readable zero bytes past data+size for SWAR scanners, whatever
+// the file length.  gzip inputs (and any mmap failure) fall back to the
+// padded slurp.
+struct MappedFile {
+  const char* data = nullptr;
+  size_t size = 0;
+  bool ok = false;
+  void* map_ = nullptr;
+  size_t maplen_ = 0;
+  std::vector<char> fb_;
+
+  ~MappedFile() {
+    if (map_) munmap(map_, maplen_);
+  }
+  MappedFile() = default;
+  MappedFile(const MappedFile&) = delete;
+  MappedFile& operator=(const MappedFile&) = delete;
+
+  bool open(const char* path, std::string& err) {
+    std::string p = path;
+    int fd = ::open(p.c_str(), O_RDONLY);
+    if (fd < 0) {
+      p += ".gz";  // the reference's .gz fallback (mutations.cpp:263-266)
+      fd = ::open(p.c_str(), O_RDONLY);
+      if (fd < 0) {
+        err = "cannot open " + std::string(path);
+        return false;
+      }
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) {
+      close(fd);
+      return slurp_fallback(path, err);
+    }
+    const size_t sz = (size_t)st.st_size;
+    if (sz == 0) {
+      close(fd);
+      fb_.assign(8, '\0');
+      fb_.resize(0);
+      data = fb_.data();
+      size = 0;
+      ok = true;
+      return true;
+    }
+    const size_t pg = 4096;
+    const size_t len = ((sz + pg - 1) / pg) * pg;
+    char* a = (char*)mmap(nullptr, len + pg, PROT_READ,
+                          MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (a == MAP_FAILED) {
+      close(fd);
+      return slurp_fallback(path, err);
+    }
+    char* m = (char*)mmap(a, len, PROT_READ, MAP_SHARED | MAP_FIXED, fd, 0);
+    close(fd);
+    if (m == MAP_FAILED) {
+      munmap(a, len + pg);
+      return slurp_fallback(path, err);
+    }
+    madvise(m, len, MADV_SEQUENTIAL);
+    if (sz >= 2 && (uint8_t)m[0] == 0x1f && (uint8_t)m[1] == 0x8b) {
+      // gzip payload: decode through the slurp path instead
+      munmap(a, len + pg);
+      return slurp_fallback(path, err);
+    }
+    map_ = a;
+    maplen_ = len + pg;
+    data = m;
+    size = sz;
+    ok = true;
+    return true;
+  }
+
+  bool slurp_fallback(const char* path, std::string& err) {
+    if (!slurp(path, fb_, err)) return false;
+    data = fb_.data();
+    size = fb_.size();
+    ok = true;
+    return true;
+  }
+};
 
 inline bool anc_ok(char c) {
   return c == 'A' || c == 'C' || c == 'G' || c == 'T' || c == '0';
@@ -685,6 +796,31 @@ void cn_bin_analytic(
   // arr 3/4/5: notshared slope / slope*offset / const
   const double* eb = edges;
   const double* ee = edges + ne;
+  // edges follow exp((b-1.5)/C)/10 (config.age_bin_edges), so the edge
+  // rank of x is ~log(10x)*C+1.5; seed the search there and fix up with
+  // exact comparisons — identical results to the binary searches at a
+  // fraction of the branches (the fixup loop runs 0-2 steps).
+  const double inv_lc = bin_c;
+  auto upper_edge = [&](double x) -> int {  // first edge > x
+    int g = 0;
+    if (x > 0) {
+      double t = std::log(10.0 * x) * inv_lc + 2.5;
+      g = t < 0 ? 0 : (t > (double)ne ? ne : (int)t);
+    }
+    while (g < ne && eb[g] <= x) g++;
+    while (g > 0 && eb[g - 1] > x) g--;
+    return g;
+  };
+  auto lower_edge = [&](double x) -> int {  // first edge >= x
+    int g = 0;
+    if (x > 0) {
+      double t = std::log(10.0 * x) * inv_lc + 2.5;
+      g = t < 0 ? 0 : (t > (double)ne ? ne : (int)t);
+    }
+    while (g < ne && eb[g] < x) g++;
+    while (g > 0 && eb[g - 1] >= x) g--;
+    return g;
+  };
 
   for (int64_t i = 0; i < n; i++) {
     const double a0 = ab[i], a1 = ae[i];
@@ -706,9 +842,9 @@ void cn_bin_analytic(
 
       const double w = wn[i];
       const double s = w / width;
-      int e_lo = (int)(std::upper_bound(eb, ee, a0) - eb);
-      int e_hi = (int)(std::lower_bound(eb, ee, a1) - eb);
-      int e_age = (int)(std::upper_bound(eb, ee, age) - eb);
+      int e_lo = upper_edge(a0);
+      int e_hi = lower_edge(a1);
+      int e_age = upper_edge(age);
       int lo2 = e_lo > e_age ? e_lo : e_age;
       int hi2 = e_hi > e_age ? e_hi : e_age;
       double* Ds = D(3, b);
@@ -731,8 +867,8 @@ void cn_bin_analytic(
       // (the reference rejects+redraws out-of-table ages) ---
       const double z = (a1 < e_last ? a1 : e_last) - a0;
       if (!(z > 0)) continue;
-      int e_lo = (int)(std::upper_bound(eb, ee, a0) - eb);
-      int e_hi = (int)(std::lower_bound(eb, ee, a1) - eb);
+      int e_lo = upper_edge(a0);
+      int e_hi = lower_edge(a1);
       const double ss = ws[i] / z, sn = wn[i] / z;
       double* S0 = D(0, b);
       double* S1 = D(1, b);
@@ -843,18 +979,56 @@ void fused_parse_range(const char* p, const char* end, const uint8_t* tmask,
                        int64_t tmask_len, const uint8_t* rmask,
                        int64_t rmask_len, double age, FilteredRows* out) {
   const char* f[12];
+  {  // one upfront reservation (~40 B/row lower bound) — the filters
+     // keep most rows, so growth reallocations would copy the columns
+     // several times over
+    const size_t est = (size_t)(end - p) / 40 + 16;
+    out->pos.reserve(est);
+    out->ab.reserve(est);
+    out->ae.reserve(est);
+    out->anc.reserve(est);
+    out->der.reserve(est);
+  }
+  // word-at-a-time delimiter scan (8 bytes per iteration instead of a
+  // branchy byte loop — rows are ~50-100 bytes of short fields).  The
+  // slurp buffer guarantees 8 readable NUL bytes past `end`; interior
+  // shard boundaries always sit just after a '\n', and within one word
+  // matches are consumed in ascending byte order, so a delimiter
+  // belonging to the next shard can never be taken before this row's
+  // terminating newline.
+  constexpr uint64_t SEMI = 0x3B3B3B3B3B3B3B3BULL;
+  constexpr uint64_t NLBC = 0x0A0A0A0A0A0A0A0AULL;
   while (p < end) {
-    // one pass over the row: record the first 11 ';' positions and the
-    // terminating '\n' together (rows are ~100 bytes of short fields —
-    // a single scan beats a memchr restart per field)
     int nf = 0;
     f[0] = p;
     const char* q = p;
-    while (q < end && *q != '\n') {
-      if (*q == ';' && nf < 11) f[++nf] = q + 1;
-      q++;
+    const char* e;
+    for (;;) {
+      uint64_t w;
+      memcpy(&w, q, 8);
+      const uint64_t mn = zbyte_mask(w ^ NLBC);
+      uint64_t m = zbyte_mask(w ^ SEMI) | mn;
+      while (m) {
+        const int b = __builtin_ctzll(m) >> 3;
+        const char* c = q + b;
+        if (c >= end) {
+          e = end;
+          goto row_end;
+        }
+        if (mn & (0x80ULL << (8 * b))) {
+          e = c;
+          goto row_end;
+        }
+        if (nf < 11) f[++nf] = c + 1;
+        m &= m - 1;
+      }
+      q += 8;
+      if (q >= end) {
+        e = end;
+        goto row_end;
+      }
     }
-    const char* e = q;
+  row_end:
     if (e == p) {
       p = e + 1;
       continue;
@@ -901,13 +1075,13 @@ void mut_prefilter_one(const char* mut_path, const uint8_t* tmask,
                        int64_t tmask_len, const uint8_t* rmask,
                        int64_t rmask_len, double age, int par,
                        FilteredRows* out) {
-  std::vector<char> buf;
-  if (!slurp(mut_path, buf, out->err)) {
+  MappedFile buf;
+  if (!buf.open(mut_path, out->err)) {
     out->ok = false;
     return;
   }
-  const char* p = buf.data();
-  const char* end = p + buf.size();
+  const char* p = buf.data;
+  const char* end = p + buf.size;
   const char* nl = (const char*)memchr(p, '\n', end - p);
   if (!nl) return;  // empty table: header only
   p = nl + 1;
@@ -1156,132 +1330,180 @@ void* cn_tmptmp_join_bin(
 
 namespace {
 
-// Streaming .colate.in run reader: bounded memory (one rolling 8 MB
-// window + the current chromosome run's columns).  Replaces whole-file
-// slurps for genome-scale mode-mut runs — the reference streams its
-// records with fread too (coal.cpp:2125-2145).
-struct ColateRun {
+// Strided view of one chromosome run inside a mapped .colate.in file:
+// every record in a run shares the same (lchrom, name) prefix, so the
+// run is an array of fixed-stride structs over the mapped bytes — the
+// join reads fields in place, nothing is materialised.  (The reference
+// freads record-by-record into scalars, coal.cpp:2125-2145.)
+struct RecView {
+  const char* base = nullptr;  // first record's bp field
+  size_t stride = 0;           // 18 + lchrom
+  int64_t n = 0;               // records in the run
+  int32_t bp(int64_t i) const {
+    int32_t v;
+    memcpy(&v, base + (size_t)i * stride, 4);
+    return v;
+  }
+  uint8_t anc(int64_t i) const { return (uint8_t)base[(size_t)i * stride + 4]; }
+  uint8_t der(int64_t i) const { return (uint8_t)base[(size_t)i * stride + 5]; }
+  int32_t aaf(int64_t i) const {
+    int32_t v;
+    memcpy(&v, base + (size_t)i * stride + 6, 4);
+    return v;
+  }
+  int32_t daf(int64_t i) const {
+    int32_t v;
+    memcpy(&v, base + (size_t)i * stride + 10, 4);
+    return v;
+  }
+};
+
+struct ColateSeg {
   std::string name;
-  std::vector<int32_t> bp, aaf, daf;
-  std::vector<uint8_t> anc, der;
-  void clear() {
-    name.clear();
-    bp.clear();
-    aaf.clear();
-    daf.clear();
-    anc.clear();
-    der.clear();
-  }
+  size_t lo = 0, hi = 0;  // byte range of the run
+  size_t lchrom = 0;
 };
 
-struct ColateInRunReader {
-  FILE* f = nullptr;
-  std::vector<char> buf;
-  size_t lo = 0, hi = 0;
-  bool eof = false;
-  bool exhausted = false;  // garbage/eof reached: no more runs ever
-  // one-record peek: the record that terminated the previous run
-  bool have_peek = false;
-  int32_t pk_lchrom = 0;
-  std::string pk_name;
-  int32_t pk_bp = 0, pk_aaf = 0, pk_daf = 0;
-  uint8_t pk_anc = 0, pk_der = 0;
-
-  ~ColateInRunReader() {
-    if (f) fclose(f);
-  }
-
-  bool open(const char* path) {
-    f = fopen(path, "rb");
-    if (!f) return false;
-    buf.resize(8 << 20);
-    return true;
-  }
-
-  // ensure >= n bytes in the window (memmove tail + refill)
-  bool ensure(size_t n) {
-    if (hi - lo >= n) return true;
-    if (eof) return false;
-    if (lo > 0) {
-      memmove(buf.data(), buf.data() + lo, hi - lo);
-      hi -= lo;
-      lo = 0;
-    }
-    while (hi - lo < n) {
-      size_t got = fread(buf.data() + hi, 1, buf.size() - hi, f);
-      if (got == 0) {
-        eof = true;
-        break;
-      }
-      hi += got;
-    }
-    return hi - lo >= n;
-  }
-
-  // parse one record into the peek slot; false at EOF/garbage
-  bool read_record() {
-    if (!ensure(4)) return false;
-    int32_t lchrom;
-    memcpy(&lchrom, buf.data() + lo, 4);
-    if (lchrom <= 0 || lchrom > 1023) return false;  // garbage: stop
-    if (!ensure(4 + (size_t)lchrom + 14)) return false;
-    const char* p = buf.data() + lo + 4;
-    pk_lchrom = lchrom;
-    pk_name.assign(p, (size_t)lchrom);
-    p += lchrom;
-    memcpy(&pk_bp, p, 4);
-    pk_anc = (uint8_t)p[4];
-    pk_der = (uint8_t)p[5];
-    memcpy(&pk_aaf, p + 6, 4);
-    memcpy(&pk_daf, p + 10, 4);
-    lo += 4 + (size_t)lchrom + 14;
-    have_peek = true;
-    return true;
-  }
-
-  // read the next chromosome run; false when the stream is exhausted
-  bool next_run(ColateRun* out) {
-    if (exhausted) return false;
-    if (!have_peek && !read_record()) {
-      exhausted = true;
-      return false;
-    }
-    out->clear();
-    out->name = pk_name;
+// One pass over the mapped file collecting chromosome-run boundaries
+// (~5 cycles/record: a u64 masked name compare and a stride add).  A
+// garbage length field or truncated record ends the scan — exactly
+// where the record-at-a-time reader would stop.
+void scan_colatein_runs(const char* data, size_t size,
+                        std::vector<ColateSeg>& out) {
+  size_t off = 0;
+  while (size - off >= 4 && off < size) {
+    int32_t L;
+    memcpy(&L, data + off, 4);
+    if (L <= 0 || L > 1023) break;
+    const size_t rec = 18 + (size_t)L;
+    if (size - off < rec) break;
+    ColateSeg seg;
+    seg.name.assign(data + off + 4, (size_t)L);
+    seg.lo = off;
+    seg.lchrom = (size_t)L;
+    uint64_t nm8 = 0;
+    memcpy(&nm8, seg.name.data(), (size_t)L < 8 ? (size_t)L : 8);
+    const uint64_t nmask =
+        (size_t)L >= 8 ? ~0ULL : ((1ULL << (8 * (size_t)L)) - 1);
+    off += rec;
     for (;;) {
-      out->bp.push_back(pk_bp);
-      out->anc.push_back(pk_anc);
-      out->der.push_back(pk_der);
-      out->aaf.push_back(pk_aaf);
-      out->daf.push_back(pk_daf);
-      have_peek = false;
-      if (!read_record()) {
-        exhausted = true;
-        return true;
-      }
-      if (pk_name != out->name) return true;  // peek starts the next run
+      if (size - off < rec) break;
+      int32_t lc;
+      memcpy(&lc, data + off, 4);
+      if (lc != L) break;
+      uint64_t w;
+      memcpy(&w, data + off + 4, 8);  // 8-byte pad past EOF guaranteed
+      if (((w ^ nm8) & nmask) != 0) break;
+      if ((size_t)L > 8 && memcmp(data + off + 12, seg.name.data() + 8,
+                                  (size_t)L - 8) != 0)
+        break;
+      off += rec;
     }
+    seg.hi = off;
+    out.push_back(std::move(seg));
   }
+}
 
-  // advance to the run named `want` (skipping non-matching runs, whose
-  // columns are discarded — the _static_segments overshoot rule); false
-  // when the stream ends first (then empty forever, same rule)
-  bool seek_run(const std::string& want, ColateRun* out) {
-    while (next_run(out)) {
-      if (out->name == want) return true;
+// Per-chromosome record ranges under the first-match-after-previous
+// rule (pipeline/join.py:_static_segments): runs are consumed in file
+// order; a chromosome's segment is the first later run with its name,
+// else empty forever once the scan runs out.
+void resolve_segments(const std::vector<ColateSeg>& runs,
+                      const std::vector<std::string>& want,
+                      std::vector<const ColateSeg*>& seg) {
+  seg.assign(want.size(), nullptr);
+  size_t r = 0;
+  bool exhausted = false;
+  for (size_t i = 0; i < want.size(); i++) {
+    if (exhausted) continue;
+    size_t rr = r;
+    while (rr < runs.size() && runs[rr].name != want[i]) rr++;
+    if (rr >= runs.size()) {
+      exhausted = true;
+      continue;
     }
-    out->clear();
-    return false;
+    seg[i] = &runs[rr];
+    r = rr + 1;
   }
-};
+}
+
+// cursor-join one chromosome's prefiltered rows against the two mapped
+// runs (same record semantics as fused_join_chrom, strided in-place)
+void fused_join_chrom_mm(const FilteredRows& rows, const RecView& t,
+                         const RecView& r, double ref_age, int64_t nbpb,
+                         FusedChrom* out) {
+  int64_t ridx = 0, tidx = 0;
+  int64_t block_base = 0, nb_local = 0;
+  const int64_t tn = t.n, rn = r.n;
+  const size_t nrow = rows.pos.size();
+  out->ab.reserve(nrow);
+  out->ae.reserve(nrow);
+  out->ws.reserve(nrow);
+  out->wn.reserve(nrow);
+  out->blk.reserve(nrow);
+
+  for (size_t i = 0; i < nrow; i++) {
+    const int64_t pos = rows.pos[i];
+    const uint8_t anc = rows.anc[i];
+    const uint8_t der = rows.der[i];
+
+    // --- reference stream cursor (coal.cpp:2183-2199) ---
+    int32_t DAF_ref = 0, AAF_ref = 0;
+    while (ridx < rn && r.bp(ridx) < pos) {
+      if (ridx + 1 >= rn) break;
+      ridx++;
+      AAF_ref = r.aaf(ridx);
+      DAF_ref = r.daf(ridx);
+    }
+    if (!(ridx < rn && r.bp(ridx) == pos && r.anc(ridx) == anc &&
+          r.der(ridx) == der) ||
+        DAF_ref == 0)
+      continue;
+    const int32_t N_ref = DAF_ref + AAF_ref;
+
+    // --- target stream cursor (coal.cpp:2201-2222) ---
+    int32_t DAF_t = 0, AAF_t = 0;
+    while (tidx < tn && t.bp(tidx) < pos) {
+      if (tidx + 1 >= tn) break;
+      tidx++;
+      AAF_t = t.aaf(tidx);
+      DAF_t = t.daf(tidx);
+    }
+    if (!(tidx < tn && t.bp(tidx) == pos && t.anc(tidx) == anc &&
+          t.der(tidx) == der))
+      continue;
+    const int32_t N_t = DAF_t + AAF_t;
+    if (N_t == 0) continue;
+
+    while (block_base + nbpb < pos) {
+      block_base += nbpb;
+      nb_local++;
+    }
+    // pseudo-diploid rounding in float (coal.cpp:2236-2242)
+    float f_DAF = (float)((float)DAF_t / (N_t / 2.0));
+    float f_AAF = (float)((float)AAF_t / (N_t / 2.0));
+    f_DAF = std::round(f_DAF);
+    f_AAF = std::round(f_AAF);
+    const double m_ab = rows.ab[i];
+    out->ab.push_back(m_ab < ref_age ? ref_age : m_ab);
+    out->ae.push_back(rows.ae[i]);
+    out->ws.push_back((double)f_DAF * DAF_ref / (double)N_ref);
+    out->wn.push_back((double)f_AAF * DAF_ref / (double)N_ref);
+    out->blk.push_back((int32_t)nb_local);
+  }
+  out->blocks_used = nb_local + 1;
+  out->num_sites = (int64_t)out->ab.size();
+}
 
 }  // namespace
 
-// Streaming phase 2: like cn_tmptmp_join_bin but reading the two
-// .colate.in files chromosome-run at a time — peak memory is one run's
-// columns per stream instead of the whole genome.  Consumes (frees) the
-// prefilter handle.  A prefetch thread decodes chromosome c+1's runs
-// while the consumer joins+bins chromosome c.
+// Streaming phase 2: join + bin straight over zero-copy mmap views of
+// the two .colate.in files.  A single cheap scan per file finds the
+// chromosome-run boundaries; chromosomes then fan out over a worker
+// pool, each joining its prefiltered rows against the strided record
+// views in place (no columns are materialised) and binning into its own
+// slot, so results are bit-identical to the serial loop.  Consumes
+// (frees) the prefilter handle.
 void* cn_tmptmp_fused_stream(
     void* prefilter, const char* t_path, const char* r_path,
     const char* chrom_blob, const int64_t* chrom_off, double ref_age,
@@ -1294,79 +1516,52 @@ void* cn_tmptmp_fused_stream(
     want[c].assign(chrom_blob + chrom_off[c],
                    (size_t)(chrom_off[c + 1] - chrom_off[c]));
 
-  ColateInRunReader tr, rr;
-  if (!tr.open(t_path)) {
+  MappedFile tm, rm;
+  std::string err;
+  if (!tm.open(t_path, err)) {
     snprintf(errbuf, errlen, "cannot open %s", t_path);
     delete pf;
     return nullptr;
   }
-  if (!rr.open(r_path)) {
+  if (!rm.open(r_path, err)) {
     snprintf(errbuf, errlen, "cannot open %s", r_path);
     delete pf;
     return nullptr;
   }
 
-  auto* out = new FusedOutC();
+  // the two run scans are independent - overlap them
+  std::vector<ColateSeg> t_runs, r_runs;
+  {
+    std::thread th([&] { scan_colatein_runs(tm.data, tm.size, t_runs); });
+    scan_colatein_runs(rm.data, rm.size, r_runs);
+    th.join();
+  }
+  std::vector<const ColateSeg*> t_seg, r_seg;
+  resolve_segments(t_runs, want, t_seg);
+  resolve_segments(r_runs, want, r_seg);
+
+  std::vector<FusedChrom> parts(n_chr);
   std::vector<std::vector<double>> h_sh(n_chr), h_ns(n_chr), h_se(n_chr),
       h_ne(n_chr);
-  std::vector<int64_t> blocks(n_chr, 0);
-
-  // two reader threads (one per file — the two stream cursors are
-  // independent) fill per-chromosome slots; a worker pool claims a
-  // chromosome as soon as BOTH its runs are decoded and joins+bins it.
-  // Per-chromosome output slots keep the result bit-identical to the
-  // serial loop; readers stay at most `max_ahead` chromosomes past the
-  // last completed join, bounding peak memory to a few chromosomes'
-  // columns per stream.
-  std::vector<ColateRun> t_slots(n_chr), r_slots(n_chr);
-  std::mutex mu;
-  std::condition_variable cv;
-  int t_ready = 0, r_ready = 0;  // chromosomes decoded per stream
-  int next_c = 0;                // next chromosome to claim for joining
-  int joined = 0;                // completed joins (gates the readers)
-  const int max_ahead = 3;
   std::atomic<int64_t> total_sites{0};
-  unsigned hw = std::thread::hardware_concurrency();
-  const int n_workers = (int)std::min<unsigned>(hw ? hw : 2, 4);
-
-  auto read_fn = [&](ColateInRunReader* rd, std::vector<ColateRun>* slots,
-                     int* ready) {
-    for (int c = 0; c < n_chr; c++) {
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        cv.wait(lk, [&] { return c < joined + max_ahead; });
-      }
-      rd->seek_run(want[c], &(*slots)[c]);
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        *ready = c + 1;
-      }
-      cv.notify_all();
-    }
-  };
-
-  auto worker = [&]() {
+  std::atomic<int> next{0};
+  auto work = [&] {
     for (;;) {
-      int c;
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        cv.wait(lk, [&] {
-          return next_c >= n_chr ||
-                 next_c < std::min(t_ready, r_ready);
-        });
-        if (next_c >= n_chr) return;
-        c = next_c++;
+      const int c = next.fetch_add(1);
+      if (c >= n_chr) return;
+      FusedChrom& fc = parts[c];
+      RecView tv, rv;
+      if (t_seg[c]) {
+        tv.stride = 18 + t_seg[c]->lchrom;
+        tv.base = tm.data + t_seg[c]->lo + 4 + t_seg[c]->lchrom;
+        tv.n = (int64_t)((t_seg[c]->hi - t_seg[c]->lo) / tv.stride);
       }
-      // move out so the slot's memory is released when `t`/`r` die
-      ColateRun t = std::move(t_slots[c]);
-      ColateRun r = std::move(r_slots[c]);
-      FusedChrom fc;
-      fused_join_chrom(
-          pf->rows[c], t.bp.data(), t.anc.data(), t.der.data(), t.aaf.data(),
-          t.daf.data(), (int64_t)t.bp.size(), 0, (int64_t)t.bp.size(),
-          r.bp.data(), r.anc.data(), r.der.data(), r.aaf.data(), r.daf.data(),
-          (int64_t)r.bp.size(), 0, (int64_t)r.bp.size(), ref_age, nbpb, &fc);
-      blocks[c] = fc.blocks_used;
+      if (r_seg[c]) {
+        rv.stride = 18 + r_seg[c]->lchrom;
+        rv.base = rm.data + r_seg[c]->lo + 4 + r_seg[c]->lchrom;
+        rv.n = (int64_t)((r_seg[c]->hi - r_seg[c]->lo) / rv.stride);
+      }
+      fused_join_chrom_mm(pf->rows[c], tv, rv, ref_age, nbpb, &fc);
       const size_t hn = (size_t)fc.blocks_used * nbins;
       h_sh[c].assign(hn, 0.0);
       h_ns[c].assign(hn, 0.0);
@@ -1379,24 +1574,30 @@ void* cn_tmptmp_fused_stream(
                         fc.blocks_used, nbins, edges, age, bin_c,
                         h_sh[c].data(), h_ns[c].data(), h_se[c].data(),
                         h_ne[c].data());
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        joined++;
-      }
-      cv.notify_all();
+      // release this chromosome's joined columns before claiming the
+      // next (blocks_used/num_sites stay for the concatenation below)
+      std::vector<double>().swap(fc.ab);
+      std::vector<double>().swap(fc.ae);
+      std::vector<double>().swap(fc.ws);
+      std::vector<double>().swap(fc.wn);
+      std::vector<int32_t>().swap(fc.blk);
     }
   };
-  std::thread rt(read_fn, &tr, &t_slots, &t_ready);
-  std::thread rrt(read_fn, &rr, &r_slots, &r_ready);
-  std::vector<std::thread> workers;
-  for (int i = 0; i < n_workers; i++) workers.emplace_back(worker);
-  rt.join();
-  rrt.join();
-  for (auto& w : workers) w.join();
-  out->num_sites = total_sites;
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min<unsigned>(hw ? hw : 2, 32);
+  if (nt > n_chr) nt = n_chr;
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> th;
+    for (int i = 0; i < nt; i++) th.emplace_back(work);
+    for (auto& x : th) x.join();
+  }
   delete pf;
 
-  for (int c = 0; c < n_chr; c++) out->num_blocks += blocks[c];
+  auto* out = new FusedOutC();
+  out->num_sites = total_sites;
+  for (int c = 0; c < n_chr; c++) out->num_blocks += parts[c].blocks_used;
   const size_t hn = (size_t)out->num_blocks * nbins;
   out->sh.reserve(hn);
   out->ns.reserve(hn);
