@@ -38,15 +38,21 @@ class AncFile:
         return int(self.start_pos.shape[0])
 
     @classmethod
-    def read(cls, path: str, fast: bool = True) -> "AncFile":
+    def read(
+        cls, path: str, fast: bool = True, columns: str = "all"
+    ) -> "AncFile":
+        """``columns="tree"`` decodes only parent + branch_length (what
+        the tree/LA/cond estimators consume) — roughly half the parse
+        work on genome-scale .anc files; num_events/snp_begin/snp_end
+        are then zero-filled placeholders."""
         if fast:
-            t = cls._read_native(path)
+            t = cls._read_native(path, columns)
             if t is not None:
                 return t
         return cls._read_python(path)
 
     @classmethod
-    def _read_native(cls, path: str) -> "AncFile | None":
+    def _read_native(cls, path: str, columns: str = "all") -> "AncFile | None":
         """Columnar .anc decode via the native library (io.cpp:cn_anc_read);
         None when the library is unavailable (callers fall back to the
         pure-Python oracle parser below)."""
@@ -58,7 +64,8 @@ class AncFile:
         if lib is None:
             return None
         err = ctypes.create_string_buffer(512)
-        h = lib.cn_anc_read(path.encode(), err, 512)
+        minimal = 1 if columns == "tree" else 0
+        h = lib.cn_anc_read(path.encode(), err, 512, minimal)
         if not h:
             raise ValueError(err.value.decode() or f"native .anc parse failed: {path}")
         try:
@@ -67,6 +74,18 @@ class AncFile:
             n_hap = int(lib.cn_anc_nhap(h))
             M = 2 * n_hap - 1
             ages = col(6, np.float64)
+            if minimal:
+                z32 = np.zeros((T, M), np.float32)
+                return cls(
+                    n_hap=n_hap,
+                    sample_ages=ages if ages.size else None,
+                    start_pos=col(0, np.int64),
+                    parent=col(1, np.int32).reshape(T, M),
+                    branch_length=col(2, np.float64).reshape(T, M),
+                    num_events=z32,
+                    snp_begin=z32.view(np.int32),
+                    snp_end=z32.view(np.int32),
+                )
             return cls(
                 n_hap=n_hap,
                 sample_ages=ages if ages.size else None,

@@ -389,7 +389,7 @@ def run_cond_coal(args) -> int:
     cutoff = float(_os.environ.get("COLATE_TPU_MASK_CUTOFF", 0.9))
     for c in chroms:
         base = args.input if c == "NA" else f"{args.input}_chr{c}"
-        anc = AncFile.read(base + ".anc")
+        anc = AncFile.read(base + ".anc", columns="tree")
         mut = MutTable.read(base + ".mut")
         mask = None
         if args.mask:

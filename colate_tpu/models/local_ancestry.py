@@ -527,7 +527,7 @@ def run_local_ancestry(args) -> int:
         unique_groups = sample.groups
         est = CoalLA(epochs, len(unique_groups), backend=backend)
         for ci, (c, f) in enumerate(zip(chroms, files)):
-            anc = AncFile.read(f + ".anc")
+            anc = AncFile.read(f + ".anc", columns="tree")
             mut = MutTable.read(f + ".mut")
             segs = [
                 (0, sample.group_of_haplotype),
@@ -538,7 +538,7 @@ def run_local_ancestry(args) -> int:
         est = CoalLA(epochs, len(unique_groups), backend=backend)
         tail_chrom = seg_rows[-1][0]
         for c, f in zip(chroms, files):
-            anc = AncFile.read(f + ".anc")
+            anc = AncFile.read(f + ".anc", columns="tree")
             mut = MutTable.read(f + ".mut")
             segs = [
                 (bp, grp) for (ch, bp, grp) in seg_rows if ch == c or c == "NA"

@@ -53,7 +53,7 @@ def run_preprocess_mut(args) -> int:
     anc_genome = read_fasta(args.anc_genome)
     mask = read_fasta(args.mask)
     vt = read_vcf(args.reference_bcf)
-    anc = AncFile.read(args.anc)
+    anc = AncFile.read(args.anc, columns="tree")
     mt = MutTable.read(args.mut, fast=False)
     L_ref = len(mt)
     root = 2 * anc.n_hap - 2

@@ -141,15 +141,51 @@ def accumulate_tree_stats(
     nb_local = T // BLOCK_SIZE_TREES + 1
 
     if backend == "auto":
+        # sorted common case (leaves at 0, coalescences age-ordered):
+        # the threaded native walk beats both the numpy oracle and a
+        # tunnel-latency device dispatch at one-shot CLI scale
+        try:
+            from colate_tpu.ops.tree_kernel import (
+                leaf_zero_applicable,
+                populate_sorted_native,
+            )
+
+            if leaf_zero_applicable(coords, N):
+                blocks_local = (np.arange(T) // BLOCK_SIZE_TREES).astype(
+                    np.int32
+                )
+                out = populate_sorted_native(
+                    coords, spans, blocks_local, epochs, N, nb_local
+                )
+                if out is not None:
+                    sl = slice(num_blocks_offset, num_blocks_offset + nb_local)
+                    num[sl] += out[0]
+                    denom[sl] += out[1]
+                    return nb_local
+        except Exception:
+            pass
         backend = "device" if T * M >= _DEVICE_MIN_NODES else "numpy"
     if backend == "device":
         try:
-            from colate_tpu.ops.tree_kernel import populate_device
+            from colate_tpu.ops.tree_kernel import (
+                populate_device,
+                populate_device_sorted,
+                sorted_case_applicable,
+            )
         except Exception:  # jax unavailable: host fallback
             backend = "numpy"
     if backend == "device":
         blocks_local = (np.arange(T) // BLOCK_SIZE_TREES).astype(np.int32)
-        n_d, d_d = populate_device(coords, spans, blocks_local, epochs, N, nb_local)
+        if sorted_case_applicable(coords, N):
+            # common Relate case (leaves at 0, coalescences age-ordered):
+            # the batched sort disappears (ops/tree_kernel.py)
+            n_d, d_d = populate_device_sorted(
+                coords, spans, blocks_local, epochs, N, nb_local
+            )
+        else:
+            n_d, d_d = populate_device(
+                coords, spans, blocks_local, epochs, N, nb_local
+            )
         sl = slice(num_blocks_offset, num_blocks_offset + nb_local)
         num[sl] += n_d
         denom[sl] += d_d
@@ -234,7 +270,7 @@ def run_tree_mode(args) -> int:
     denom = np.zeros((_INITIAL_BLOCKS, E), np.float64)
     nb = 0
     for c in chroms:
-        anc = AncFile.read(f"{args.input}_chr{c}.anc")
+        anc = AncFile.read(f"{args.input}_chr{c}.anc", columns="tree")
         mut = MutTable.read(f"{args.input}_chr{c}.mut")
         need = nb + anc.num_trees // BLOCK_SIZE_TREES + 1
         if need > num.shape[0]:

@@ -192,7 +192,9 @@ def load():
     ]
     lib.cn_bcf_free.argtypes = [ctypes.c_void_p]
     lib.cn_anc_read.restype = ctypes.c_void_p
-    lib.cn_anc_read.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.cn_anc_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+    ]
     lib.cn_anc_n.restype = ctypes.c_int64
     lib.cn_anc_n.argtypes = [ctypes.c_void_p]
     lib.cn_anc_nhap.restype = ctypes.c_int64
@@ -205,6 +207,11 @@ def load():
     lib.cn_tree_coords.restype = ctypes.c_int
     lib.cn_tree_coords.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, P, P, P, P
+    ]
+    lib.cn_tree_populate_sorted.restype = None
+    lib.cn_tree_populate_sorted.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        P, P, P, P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, P, P,
     ]
     lib.cn_la_accumulate.restype = None
     lib.cn_la_accumulate.argtypes = [

@@ -323,3 +323,102 @@ void cn_em_run(const double* epochs, int E, const double* init_rates,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sorted-case coal_tree::populate (tree mode host fast path).
+//
+// Mirrors the batched device kernel's math for the contemporaneous-
+// leaf case (every leaf at age 0): the stable merged node order is
+// [all N leaves, internal nodes by (age, index)], so the reference's
+// sweep (coal_tree.cpp:100-174) reduces to one monotone walk per tree
+// over the stably-sorted K=N-1 internal ages evaluated at the E epoch
+// edges.  The per-tree stable sort is done here (node ages recomputed
+// from branch lengths carry tiny float inversions, so rows are only
+// NEARLY sorted — the device fast path requires exact sortedness, this
+// one does not).  f64 accumulation in the kernel's operation order;
+// threads own contiguous tree ranges and their [nseg, E] partials
+// merge in thread order.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <thread>
+
+extern "C" void cn_tree_populate_sorted(
+    int64_t T, int64_t K, int64_t N,
+    const float* ia,       // [T, K] internal ages (any order)
+    const double* spans,   // [T]
+    const int32_t* blocks, // [T] in [0, nseg)
+    const double* epochs,  // [E] nondecreasing, epochs[0] >= 0
+    int64_t E, int64_t nseg, int32_t nthreads,
+    double* num, double* den) {  // [nseg, E] each, zeroed by caller
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = nthreads > 0 ? nthreads : (int)(hw ? hw : 1);
+  nt = (int)std::min<int64_t>(nt, std::max<int64_t>(T, 1));
+
+  std::vector<std::vector<double>> tnum((size_t)nt), tden((size_t)nt);
+  auto worker = [&](int ti, int64_t lo, int64_t hi) {
+    std::vector<double>& an = tnum[(size_t)ti];
+    std::vector<double>& ad = tden[(size_t)ti];
+    an.assign((size_t)(nseg * E), 0.0);
+    ad.assign((size_t)(nseg * E), 0.0);
+    std::vector<double> g_at((size_t)E), c_at((size_t)E);
+    std::vector<float> sa((size_t)K);
+    for (int64_t t = lo; t < hi; t++) {
+      const float* araw = ia + t * K;
+      // stable sort (ties keep node-index order — argsort parity)
+      sa.assign(araw, araw + K);
+      std::stable_sort(sa.begin(), sa.end());
+      const float* a = sa.data();
+      const double w = spans[t] / 1e9;
+      double* bn = an.data() + (int64_t)blocks[t] * E;
+      double* bd = ad.data() + (int64_t)blocks[t] * E;
+      int64_t i = 0;
+      double bp_prev = 0.0, G = 0.0;
+      double kk = (double)(N);
+      double slope = kk * (kk - 1.0) * 0.5;  // C(N - i, 2)
+      for (int64_t e = 0; e < E; e++) {
+        const double te = epochs[e];
+        while (i < K && (double)a[i] <= te) {
+          G += slope * ((double)a[i] - bp_prev);
+          bp_prev = (double)a[i];
+          i++;
+          kk = (double)(N - i);
+          slope = kk * (kk - 1.0) * 0.5;
+        }
+        g_at[(size_t)e] = G + slope * (te - bp_prev);
+        c_at[(size_t)e] = (double)i;
+      }
+      // epoch 0 collects every event with age <= epochs[1] (kernel's
+      // epoch-0 rule); last epoch contributes nothing (sweep stops)
+      if (E >= 2) {
+        bn[0] += c_at[1] * w;
+        bd[0] += (g_at[1] - g_at[0]) * w;
+        for (int64_t e = 1; e < E - 1; e++) {
+          bn[e] += (c_at[(size_t)e + 1] - c_at[(size_t)e]) * w;
+          bd[e] += (g_at[(size_t)e + 1] - g_at[(size_t)e]) * w;
+        }
+      }
+    }
+  };
+  int64_t per = (T + nt - 1) / nt;
+  std::vector<std::thread> th;
+  for (int ti = 0; ti < nt; ti++) {
+    int64_t lo = (int64_t)ti * per;
+    int64_t hi = std::min<int64_t>(lo + per, T);
+    if (lo >= hi) {
+      tnum[(size_t)ti].assign((size_t)(nseg * E), 0.0);
+      tden[(size_t)ti].assign((size_t)(nseg * E), 0.0);
+      continue;
+    }
+    th.emplace_back(worker, ti, lo, hi);
+  }
+  for (auto& t : th) t.join();
+  for (int ti = 0; ti < nt; ti++) {
+    const double* an = tnum[(size_t)ti].data();
+    const double* ad = tden[(size_t)ti].data();
+    for (int64_t i = 0; i < nseg * E; i++) {
+      num[i] += an[i];
+      den[i] += ad[i];
+    }
+  }
+}

@@ -204,7 +204,8 @@ struct MappedFile {
       munmap(a, len + pg);
       return slurp_fallback(path, err);
     }
-    madvise(m, len, MADV_SEQUENTIAL);
+    // NOTE: no MADV_SEQUENTIAL — its drop-behind frees the pages right
+    // after access, making every re-read of a fixture cold again
     if (sz >= 2 && (uint8_t)m[0] == 0x1f && (uint8_t)m[1] == 0x8b) {
       // gzip payload: decode through the slurp path instead
       munmap(a, len + pg);
@@ -1702,10 +1703,58 @@ inline float parse_f32_tok(const char* b, const char* e) {
   return ok ? v : strtof(b, nullptr);
 }
 
-// parse tree lines [t0, t1) of `lines` into t->... at row offsets t*M
+// greedy in-place numeric parsers: advance p past the value, false (p
+// untouched) when the token needs the delimiter-bounded fallback
+inline bool g_i64(const char*& p, const char* e, int64_t& v) {
+  const char* q = p;
+  bool neg = false;
+  if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  const char* d = q;
+  uint64_t m = 0;
+  while (q < e && (uint8_t)(*q - '0') <= 9) m = m * 10 + (uint8_t)(*q++ - '0');
+  if (q == d) return false;
+  v = neg ? -(int64_t)m : (int64_t)m;
+  p = q;
+  return true;
+}
+
+inline bool g_f64(const char*& p, const char* e, double& v) {
+  const char* q = p;
+  bool neg = false;
+  if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  uint64_t m = 0;
+  int digs = 0, frac = 0;
+  bool dot = false;
+  while (q < e) {
+    const char c = *q;
+    if ((uint8_t)(c - '0') <= 9) {
+      m = m * 10 + (uint8_t)(c - '0');
+      digs++;
+      if (dot) frac++;
+      q++;
+    } else if (c == '.' && !dot) {
+      dot = true;
+      q++;
+    } else {
+      break;
+    }
+  }
+  if (digs == 0 || digs > 15 || frac > 22) return false;
+  if (q < e && (*q == 'e' || *q == 'E' || *q == 'x' || *q == 'X'))
+    return false;  // exponent form: caller falls back to strtod
+  v = (double)m / kP10D[frac];
+  if (neg) v = -v;
+  p = q;
+  return true;
+}
+
+// parse tree lines [t0, t1) of `lines` into t->... at row offsets t*M.
+// minimal=true decodes only parent + branch_length (what the tree/LA/
+// cond estimators consume) and hops the "(ev sb se)" tail with one
+// memchr — roughly half the per-record work.
 bool parse_anc_range(const std::vector<const char*>& lo,
                      const std::vector<const char*>& hi, size_t t0, size_t t1,
-                     int64_t M, AncC* t, std::string& err) {
+                     int64_t M, bool minimal, AncC* t, std::string& err) {
   for (size_t ti = t0; ti < t1; ti++) {
     const char* p = lo[ti];
     const char* e = hi[ti];
@@ -1719,18 +1768,45 @@ bool parse_anc_range(const std::vector<const char*>& lo,
     int64_t base = (int64_t)ti * M;
     for (int64_t j = 0; j < M; j++) {
       while (p < e && (*p == ' ' || *p == '\t')) p++;
-      const char* c2 = (const char*)memchr(p, ':', e - p);
-      if (!c2 || c2 + 1 >= e || c2[1] != '(') {
-        err = ".anc tree " + std::to_string(ti) + ": short record " +
-              std::to_string(j);
-        return false;
+      {  // greedy fast path: "<parent>:(<blen> " with plain decimals
+        const char* q = p;
+        int64_t pv;
+        double bv;
+        if (g_i64(q, e, pv) && q + 1 < e && q[0] == ':' && q[1] == '(' &&
+            (q += 2, g_f64(q, e, bv)) && q < e && *q == ' ') {
+          t->parent[base + j] = (int32_t)pv;
+          t->blen[base + j] = bv;
+          p = q + 1;
+          if (minimal) {
+            const char* s4 = (const char*)memchr(p, ')', e - p);
+            if (!s4) goto bad;
+            p = s4 + 1;
+            continue;
+          }
+          goto tail_fields;
+        }
       }
-      t->parent[base + j] = (int32_t)parse_i64(p, c2);
-      p = c2 + 2;
-      const char* s1 = (const char*)memchr(p, ' ', e - p);
-      if (!s1) goto bad;
-      t->blen[base + j] = parse_f64_tok(p, s1);
-      p = s1 + 1;
+      {  // fallback: delimiter-bounded tokens (exponent floats, junk)
+        const char* c2 = (const char*)memchr(p, ':', e - p);
+        if (!c2 || c2 + 1 >= e || c2[1] != '(') {
+          err = ".anc tree " + std::to_string(ti) + ": short record " +
+                std::to_string(j);
+          return false;
+        }
+        t->parent[base + j] = (int32_t)parse_i64(p, c2);
+        p = c2 + 2;
+        const char* s1 = (const char*)memchr(p, ' ', e - p);
+        if (!s1) goto bad;
+        t->blen[base + j] = parse_f64_tok(p, s1);
+        p = s1 + 1;
+        if (minimal) {
+          const char* s4 = (const char*)memchr(p, ')', e - p);
+          if (!s4) goto bad;
+          p = s4 + 1;
+          continue;
+        }
+      }
+    tail_fields:
       {
         const char* s2 = (const char*)memchr(p, ' ', e - p);
         if (!s2) goto bad;
@@ -1759,15 +1835,15 @@ bool parse_anc_range(const std::vector<const char*>& lo,
 
 extern "C" {
 
-void* cn_anc_read(const char* path, char* errbuf, int errlen) {
+void* cn_anc_read(const char* path, char* errbuf, int errlen, int minimal) {
   std::string err;
-  std::vector<char> buf;
-  if (!slurp(path, buf, err)) {
+  MappedFile buf;
+  if (!buf.open(path, err)) {
     snprintf(errbuf, errlen, "%s", err.c_str());
     return nullptr;
   }
-  const char* p = buf.data();
-  const char* end = p + buf.size();
+  const char* p = buf.data;
+  const char* end = p + buf.size;
   auto next_line = [&](const char*& q) -> std::pair<const char*, const char*> {
     const char* s = q;
     const char* e = (const char*)memchr(s, '\n', end - s);
@@ -1852,9 +1928,11 @@ void* cn_anc_read(const char* path, char* errbuf, int errlen) {
   t->start_pos.resize(T);
   t->parent.resize(T * M);
   t->blen.resize(T * M);
-  t->nev.resize(T * M);
-  t->sb.resize(T * M);
-  t->se.resize(T * M);
+  if (!minimal) {
+    t->nev.resize(T * M);
+    t->sb.resize(T * M);
+    t->se.resize(T * M);
+  }
   unsigned nt = std::thread::hardware_concurrency();
   if (nt == 0) nt = 1;
   if (nt > 8) nt = 8;
@@ -1866,7 +1944,7 @@ void* cn_anc_read(const char* path, char* errbuf, int errlen) {
     for (unsigned w = 0; w < nt; w++) {
       size_t t0 = (size_t)T * w / nt, t1 = (size_t)T * (w + 1) / nt;
       th.emplace_back([&, w, t0, t1] {
-        ok[w] = parse_anc_range(lo, hi, t0, t1, M, t, errs[w]);
+        ok[w] = parse_anc_range(lo, hi, t0, t1, M, minimal != 0, t, errs[w]);
       });
     }
     for (auto& x : th) x.join();

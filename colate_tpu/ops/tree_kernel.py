@@ -101,6 +101,172 @@ def _populate_fn(S: int, M: int, N: int, E: int, nseg: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _populate_sorted_fn(S: int, K: int, N: int, E: int, nseg: int):
+    """Sorted fast path: contemporaneous leaves (age 0) + internal
+    nodes already in age order — the overwhelmingly common Relate case
+    (GetCoordinates numbers coalescences by age).  The merged node
+    order is then [all N leaves, internal nodes by index], so the sort
+    disappears: the lineage count after internal event i is N-i and the
+    sweep reduces to one cumsum over the K=N-1 internal ages."""
+    import jax
+    import jax.numpy as jnp
+
+    # slope after breakpoint i (i=0: below first event) = C(N-i, 2)
+    kk = N - np.arange(K + 1, dtype=np.float64)
+    slope_np = kk * (kk - 1.0) * 0.5  # [K+1]
+
+    def fn(ia, spans, blocks, epochs):
+        # ia [S, K] f32 internal ages (nondecreasing); spans [S] f64
+        sc0 = jnp.concatenate(
+            [jnp.zeros((S, 1), jnp.float64), ia.astype(jnp.float64)], axis=1
+        )  # [S, K+1] breakpoints
+        slope = jnp.asarray(slope_np)  # [K+1]
+        cumG = jnp.concatenate(
+            [
+                jnp.zeros((S, 1), jnp.float64),
+                jnp.cumsum(slope[None, :-1] * jnp.diff(sc0, axis=1), axis=1),
+            ],
+            axis=1,
+        )  # [S, K+1]
+
+        idx = (
+            jnp.sum(
+                sc0[:, :, None] <= epochs[None, None, :], axis=1,
+                dtype=jnp.int32,
+            )
+            - 1
+        )  # [S, E] last breakpoint <= edge
+        valid = idx >= 0
+        idxc = jnp.clip(idx, 0, K)
+        g_at = (
+            jnp.take_along_axis(cumG, idxc, axis=1)
+            + slope[idxc] * (epochs[None, :] - jnp.take_along_axis(sc0, idxc, axis=1))
+        )
+        g_at = jnp.where(valid, g_at, 0.0)
+        c_at = jnp.where(valid, idx, 0).astype(jnp.float64)  # events <= edge
+
+        w = (spans / 1e9)[:, None]
+        num_t = jnp.diff(c_at, axis=1)
+        num_t = num_t.at[:, 0].set(c_at[:, 1])  # epoch-0 collects age<=edge1
+        num_t = num_t * w
+        den_t = jnp.diff(g_at, axis=1) * w
+        num = jax.ops.segment_sum(num_t, blocks, num_segments=nseg)
+        den = jax.ops.segment_sum(den_t, blocks, num_segments=nseg)
+        pad = jnp.zeros((nseg, 1), jnp.float64)
+        return (
+            jnp.concatenate([num, pad], axis=1),
+            jnp.concatenate([den, pad], axis=1),
+        )
+
+    return jax.jit(fn)
+
+
+def sorted_case_applicable(coords: np.ndarray, n_hap: int) -> bool:
+    """True when every leaf age is 0 and internal ages are nondecreasing
+    per tree (ties allowed) — the stable merged order then equals
+    [leaves, internals] and :func:`_populate_sorted_fn` applies."""
+    N = n_hap
+    leaf = coords[:, :N]
+    ia = coords[:, N:]
+    if leaf.size == 0 or ia.size == 0:
+        return False
+    return bool((leaf == 0.0).all() and (ia[:, 1:] >= ia[:, :-1]).all())
+
+
+def leaf_zero_applicable(coords: np.ndarray, n_hap: int) -> bool:
+    """True when every leaf age is 0 (contemporaneous samples) — the
+    native populate (which stably sorts internal ages itself) applies.
+    Ages recomputed from branch lengths carry tiny float inversions, so
+    this is the practical gate; :func:`sorted_case_applicable` is the
+    stricter sort-free device gate."""
+    N = n_hap
+    leaf = coords[:, :N]
+    return leaf.size > 0 and coords.shape[1] > N and bool((leaf == 0.0).all())
+
+
+def populate_device_sorted(
+    coords: np.ndarray,
+    spans: np.ndarray,
+    blocks: np.ndarray,
+    epochs: np.ndarray,
+    n_hap: int,
+    num_blocks: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-case populate (see _populate_sorted_fn); caller must have
+    checked :func:`sorted_case_applicable`."""
+    from colate_tpu import enable_compilation_cache, enable_x64
+
+    enable_x64()
+    enable_compilation_cache()
+    T, M = coords.shape
+    N = int(n_hap)
+    K = N - 1
+    E = epochs.shape[0]
+    nseg = max(int(num_blocks), 1)
+    num = np.zeros((nseg, E), np.float64)
+    den = np.zeros((nseg, E), np.float64)
+    ep = np.asarray(epochs, np.float64)
+    ia_all = coords[:, N:]
+    i = 0
+    while i < T:
+        n = min(_TREE_SLAB, T - i)
+        S = _slab_bucket(n)
+        c = np.zeros((S, K), np.float32)
+        c[:n] = ia_all[i : i + n]
+        s = np.zeros(S, np.float64)
+        s[:n] = spans[i : i + n]
+        b = np.zeros(S, np.int32)
+        b[:n] = blocks[i : i + n]
+        fn = _populate_sorted_fn(S, K, N, E, nseg)
+        num_d, den_d = fn(c, s, b, ep)
+        num += np.asarray(num_d)
+        den += np.asarray(den_d)
+        i += n
+    return num, den
+
+
+def populate_sorted_native(
+    coords: np.ndarray,
+    spans: np.ndarray,
+    blocks: np.ndarray,
+    epochs: np.ndarray,
+    n_hap: int,
+    num_blocks: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ twin of the sorted fast path (native/em.cpp:
+    cn_tree_populate_sorted): one monotone walk per tree, threaded over
+    contiguous tree ranges — the one-shot host winner on tunnel-attached
+    chips where a device dispatch pays the round-trip latency.  Returns
+    None when the native library is unavailable."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    T, M = coords.shape
+    N = int(n_hap)
+    K = N - 1
+    E = epochs.shape[0]
+    nseg = max(int(num_blocks), 1)
+    num = np.zeros((nseg, E), np.float64)
+    den = np.zeros((nseg, E), np.float64)
+    if T == 0:
+        return num, den
+    ia = np.ascontiguousarray(coords[:, N:], np.float32)
+    sp = np.ascontiguousarray(spans, np.float64)
+    bl = np.ascontiguousarray(blocks, np.int32)
+    ep = np.ascontiguousarray(epochs, np.float64)
+    pp = lambda a: ctypes.c_void_p(a.ctypes.data)
+    lib.cn_tree_populate_sorted(
+        T, K, N, pp(ia), pp(sp), pp(bl), pp(ep), E, nseg, 0,
+        pp(num), pp(den),
+    )
+    return num, den
+
+
 def populate_device(
     coords: np.ndarray,
     spans: np.ndarray,

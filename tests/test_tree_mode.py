@@ -229,3 +229,109 @@ def test_tree_mode_golden_device_backend(anc_fixture, tmp_path, monkeypatch):
     m = np.isfinite(ref.rates)
     np.testing.assert_allclose(ours.rates[m], ref.rates[m], rtol=1e-5, atol=0)
     np.testing.assert_array_equal(np.isfinite(ours.rates), m)
+
+
+def test_sorted_populate_matches_general():
+    """The sort-free fast path (leaves at 0, internal ages ordered) must
+    reproduce the general argsort kernel and the numpy oracle exactly,
+    including ties at epoch edges and zero-age coalescences."""
+    pytest.importorskip("jax")
+    import numpy as np
+
+    from colate_tpu.models.tree_coal import _populate_numpy_chunk
+    from colate_tpu.ops.tree_kernel import (
+        populate_device,
+        populate_device_sorted,
+        sorted_case_applicable,
+    )
+
+    g = np.random.default_rng(17)
+    T, N = 50, 6
+    M = 2 * N - 1
+    coords = np.zeros((T, M), np.float32)
+    ia = np.sort(g.uniform(0.0, 90.0, (T, N - 1)), axis=1)
+    ia[0, 0] = 0.0           # zero-age coalescence
+    ia[3, 2] = 10.0          # exactly on an epoch edge
+    ia[5, :] = 95.0          # all above; some beyond last edge
+    coords[:, N:] = ia
+    spans = g.uniform(0.5, 2.0, T)
+    blocks = g.integers(0, 3, T).astype(np.int32)
+    epochs = np.array([0.0, 1.0, 10.0, 50.0, 80.0])
+    assert sorted_case_applicable(coords, N)
+    n_s, d_s = populate_device_sorted(coords, spans, blocks, epochs, N, 3)
+    n_g, d_g = populate_device(coords, spans, blocks, epochs, N, 3)
+    np.testing.assert_allclose(n_s, n_g, rtol=0, atol=0)
+    np.testing.assert_allclose(d_s, d_g, rtol=1e-12, atol=1e-12)
+    # numpy oracle
+    nt, dt = _populate_numpy_chunk(coords, spans, epochs, N)
+    n_o = np.zeros((3, epochs.size)); d_o = np.zeros((3, epochs.size))
+    np.add.at(n_o, blocks, nt); np.add.at(d_o, blocks, dt)
+    np.testing.assert_allclose(n_s, n_o, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(d_s, d_o, rtol=1e-12, atol=1e-12)
+    # ancient leaves must NOT take the fast path
+    c2 = coords.copy(); c2[:, 0] = 5.0
+    assert not sorted_case_applicable(c2, N)
+
+
+def test_sorted_populate_native_matches_device():
+    import numpy as np
+
+    from colate_tpu.models.tree_coal import _populate_numpy_chunk
+    from colate_tpu.ops.tree_kernel import (
+        populate_sorted_native,
+        sorted_case_applicable,
+    )
+
+    g = np.random.default_rng(23)
+    T, N = 200, 8
+    M = 2 * N - 1
+    coords = np.zeros((T, M), np.float32)
+    coords[:, N:] = np.sort(g.uniform(0.0, 90.0, (T, N - 1)), axis=1)
+    coords[2, N] = 0.0  # zero-age first coalescence (still sorted)
+    # edge-coincident ages, order preserved
+    coords[7, N:] = [0.5, 5.0, 10.0, 10.0, 50.0, 80.0, 88.0]
+    spans = g.uniform(0.5, 2.0, T)
+    blocks = (np.arange(T) // 50).astype(np.int32)
+    epochs = np.array([0.0, 1.0, 10.0, 50.0, 80.0])
+    assert sorted_case_applicable(coords, N)
+    out = populate_sorted_native(coords, spans, blocks, epochs, N, 4)
+    if out is None:
+        pytest.skip("native kernel unavailable")
+    nt, dt = _populate_numpy_chunk(coords, spans, epochs, N)
+    n_o = np.zeros((4, epochs.size)); d_o = np.zeros((4, epochs.size))
+    np.add.at(n_o, blocks, nt); np.add.at(d_o, blocks, dt)
+    np.testing.assert_allclose(out[0], n_o, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(out[1], d_o, rtol=1e-12, atol=1e-12)
+
+
+def test_native_populate_handles_unsorted_internal_ages():
+    """Ages recomputed from branch lengths carry tiny inversions; the
+    native kernel stably sorts per tree and must match the general
+    numpy oracle on arbitrarily ordered internal ages."""
+    import numpy as np
+
+    from colate_tpu.models.tree_coal import _populate_numpy_chunk
+    from colate_tpu.ops.tree_kernel import (
+        leaf_zero_applicable,
+        populate_sorted_native,
+        sorted_case_applicable,
+    )
+
+    g = np.random.default_rng(31)
+    T, N = 120, 7
+    M = 2 * N - 1
+    coords = np.zeros((T, M), np.float32)
+    coords[:, N:] = g.uniform(0.0, 90.0, (T, N - 1))  # UNSORTED
+    spans = g.uniform(0.5, 2.0, T)
+    blocks = (np.arange(T) // 40).astype(np.int32)
+    epochs = np.array([0.0, 1.0, 10.0, 50.0, 80.0])
+    assert leaf_zero_applicable(coords, N)
+    assert not sorted_case_applicable(coords, N)
+    out = populate_sorted_native(coords, spans, blocks, epochs, N, 3)
+    if out is None:
+        pytest.skip("native kernel unavailable")
+    nt, dt = _populate_numpy_chunk(coords, spans, epochs, N)
+    n_o = np.zeros((3, epochs.size)); d_o = np.zeros((3, epochs.size))
+    np.add.at(n_o, blocks, nt); np.add.at(d_o, blocks, dt)
+    np.testing.assert_allclose(out[0], n_o, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(out[1], d_o, rtol=1e-9, atol=1e-12)
