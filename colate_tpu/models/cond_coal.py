@@ -401,18 +401,9 @@ def run_cond_coal(args) -> int:
             gmap = RecombMap.load(gpath)
 
         spans = np.float32(tree_spans(anc, mut)).astype(np.float64)
-        coords = node_ages(anc).astype(np.float64)
-        from colate_tpu.models.local_ancestry import _children
-
-        ch = _children(anc)
         T = anc.num_trees
         N = anc.n_hap
         M = 2 * N - 1
-        # per-subtree group counts and conditional-hap counts
-        onehot = np.zeros((N, G))
-        onehot[np.arange(N), goh[:N]] = 1.0
-        cond_onehot = np.zeros(N)
-        cond_onehot[cond] = 1.0
         sample_ages = anc.sample_ages
         if sample_ages is not None and not np.any(np.asarray(sample_ages) > 0):
             sample_ages = None
@@ -475,6 +466,15 @@ def run_cond_coal(args) -> int:
         ):
             chr_bin = max_blk + 1
             continue
+
+        # Python fallback (no native library): batched subtree counts
+        from colate_tpu.models.local_ancestry import _children
+
+        ch = _children(anc)
+        onehot = np.zeros((N, G))
+        onehot[np.arange(N), goh[:N]] = 1.0
+        cond_onehot = np.zeros(N)
+        cond_onehot[cond] = 1.0
 
         _CHUNK = 512  # trees per batched subtree-count pass
 

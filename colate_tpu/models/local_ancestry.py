@@ -99,8 +99,25 @@ def _group_counts(parent: np.ndarray, n_hap: int, group: np.ndarray,
 
 def _children(anc: AncFile):
     """[T, M, 2] child indices (-1 for leaves), matching ReadTree's
-    left-then-right fill order (anc.cpp:25-32)."""
+    left-then-right fill order (anc.cpp:25-32).  Native threaded pass
+    when available; the numpy twin below is the oracle."""
     T, M = anc.parent.shape
+    try:
+        import ctypes
+
+        from colate_tpu import native
+
+        lib = native.load()
+    except Exception:
+        lib = None
+    if lib is not None:
+        par = np.ascontiguousarray(anc.parent, np.int32)
+        ch = np.empty((T, M, 2), np.int32)
+        lib.cn_children(
+            T, M, ctypes.c_void_p(par.ctypes.data),
+            ctypes.c_void_p(ch.ctypes.data),
+        )
+        return ch
     ch = np.full((T, M, 2), -1, np.int32)
     filled = np.zeros((T, M), np.int8)
     rows = np.arange(T)

@@ -208,6 +208,8 @@ def load():
     lib.cn_tree_coords.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, P, P, P, P
     ]
+    lib.cn_children.restype = None
+    lib.cn_children.argtypes = [ctypes.c_int64, ctypes.c_int64, P, P]
     lib.cn_tree_populate_sorted.restype = None
     lib.cn_tree_populate_sorted.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

@@ -18,40 +18,51 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
 struct LeafSets {
-    // flattened sorted descendant-leaf ids per node (CSR layout)
+    // flattened sorted descendant-leaf ids per node (CSR layout);
+    // buffers are reused across trees (no per-node allocations)
     std::vector<int32_t> ids;
     std::vector<int64_t> off;  // [M+1]
+    std::vector<int32_t> sz;   // scratch subtree sizes
 };
 
 // sorted leaf sets per node, merge order as FindAllLeaves
-// (src/anc.cpp:205-277): ascending merge of the two children
+// (src/anc.cpp:205-277): ascending merge of the two children.
+// Subtree sizes fix the CSR offsets up front, then one ascending pass
+// merges children in place — internal nodes are assumed numbered above
+// their children (ReadTree layout), same as the original per-vector
+// version.
 static void build_leafsets(int64_t M, int64_t N, const int32_t* parent,
                            const int32_t* ch, LeafSets& ls) {
-    std::vector<std::vector<int32_t>> mem(M);
-    for (int64_t i = 0; i < N; i++) mem[i] = {(int32_t)i};
+    ls.sz.assign((size_t)M, 0);
+    for (int64_t i = 0; i < N; i++) ls.sz[(size_t)i] = 1;
     for (int64_t j = N; j < M; j++) {
         int32_t c0 = ch[2 * j], c1 = ch[2 * j + 1];
         if (c0 < 0 || c1 < 0) continue;
-        auto& a = mem[c0];
-        auto& b = mem[c1];
-        auto& out = mem[j];
-        out.resize(a.size() + b.size());
-        std::merge(a.begin(), a.end(), b.begin(), b.end(), out.begin());
+        ls.sz[(size_t)j] = ls.sz[(size_t)c0] + ls.sz[(size_t)c1];
     }
-    ls.off.resize(M + 1);
+    ls.off.resize((size_t)M + 1);
     int64_t total = 0;
     for (int64_t j = 0; j < M; j++) {
-        ls.off[j] = total;
-        total += (int64_t)mem[j].size();
+        ls.off[(size_t)j] = total;
+        total += ls.sz[(size_t)j];
     }
-    ls.off[M] = total;
-    ls.ids.resize(total);
-    for (int64_t j = 0; j < M; j++)
-        std::copy(mem[j].begin(), mem[j].end(), ls.ids.begin() + ls.off[j]);
+    ls.off[(size_t)M] = total;
+    ls.ids.resize((size_t)total);
+    for (int64_t i = 0; i < N; i++) ls.ids[(size_t)ls.off[(size_t)i]] = (int32_t)i;
+    for (int64_t j = N; j < M; j++) {
+        int32_t c0 = ch[2 * j], c1 = ch[2 * j + 1];
+        if (c0 < 0 || c1 < 0) continue;
+        const int32_t* a = ls.ids.data() + ls.off[(size_t)c0];
+        const int32_t* ae = a + ls.sz[(size_t)c0];
+        const int32_t* b = ls.ids.data() + ls.off[(size_t)c1];
+        const int32_t* be = b + ls.sz[(size_t)c1];
+        std::merge(a, ae, b, be, ls.ids.data() + ls.off[(size_t)j]);
+    }
 }
 
 // children in ReadTree fill order (left = first by ascending node index)
@@ -215,13 +226,17 @@ extern "C" {
 
 // Accumulate a chromosome of trees into [NB, F, E, G] float32 num/denom.
 // Trees with factor == NaN are skipped (mask/map filtered).  Sequential
-// tree order is preserved — it is part of the reference's observable
-// float32 rounding pattern.
+// tree order is preserved WITHIN every block — it is part of the
+// reference's observable float32 rounding pattern — and blocks are
+// disjoint accumulator slices, so contiguous RANGES of blocks fan out
+// over threads with the result byte-identical to the serial loop
+// (tree_blocks must be nondecreasing, which the 30 Mb position binning
+// guarantees; any decreasing input falls back to one thread).
 void cn_cond_chrom(int64_t T, int64_t M, int64_t N,
                    const int32_t* parent,    // [T, M]
                    const double* blen,       // [T, M]
                    const float* factors,     // [T]; NaN = skip
-                   const int32_t* tree_blocks,  // [T]
+                   const int32_t* tree_blocks,  // [T] nondecreasing
                    const int32_t* focal, int64_t n_focal,
                    const int32_t* cond, int64_t n_cond,  // may hold -1
                    const int32_t* group_of_hap,          // [N]
@@ -231,31 +246,56 @@ void cn_cond_chrom(int64_t T, int64_t M, int64_t N,
                    float* num, float* denom)             // [NB, F, E, G]
 {
     Grids g{epochs, E, epochs_focal, F, group_of_hap, G};
-    std::vector<int32_t> ch(2 * M);
-    LeafSets ls;
     const int64_t block_sz = F * E * G;
-    for (int64_t t = 0; t < T; t++) {
-        float factor = factors[t];
-        if (std::isnan(factor)) continue;
-        const int32_t* par_t = parent + t * M;
-        const double* blen_t = blen + t * M;
-        build_children(M, par_t, ch.data());
-        build_leafsets(M, N, par_t, ch.data(), ls);
-        float* num_b = num + (int64_t)tree_blocks[t] * block_sz;
-        float* den_b = denom + (int64_t)tree_blocks[t] * block_sz;
-        for (int64_t i = 0; i < n_focal; i++) {
-            for (int64_t j = 0; j < n_cond; j++) {
-                if (focal[i] == cond[j]) continue;
-                if (sample_ages)
-                    pair_ancient(M, par_t, blen_t, ch.data(), ls, g,
-                                 sample_ages, focal[i], cond[j], factor,
-                                 num_b, den_b);
-                else
-                    pair_modern(M, par_t, blen_t, ch.data(), ls, g, focal[i],
-                                cond[j], factor, num_b, den_b);
+
+    auto run_range = [&](int64_t t0, int64_t t1) {
+        std::vector<int32_t> ch(2 * M);
+        LeafSets ls;
+        for (int64_t t = t0; t < t1; t++) {
+            float factor = factors[t];
+            if (std::isnan(factor)) continue;
+            const int32_t* par_t = parent + t * M;
+            const double* blen_t = blen + t * M;
+            build_children(M, par_t, ch.data());
+            build_leafsets(M, N, par_t, ch.data(), ls);
+            float* num_b = num + (int64_t)tree_blocks[t] * block_sz;
+            float* den_b = denom + (int64_t)tree_blocks[t] * block_sz;
+            for (int64_t i = 0; i < n_focal; i++) {
+                for (int64_t j = 0; j < n_cond; j++) {
+                    if (focal[i] == cond[j]) continue;
+                    if (sample_ages)
+                        pair_ancient(M, par_t, blen_t, ch.data(), ls, g,
+                                     sample_ages, focal[i], cond[j], factor,
+                                     num_b, den_b);
+                    else
+                        pair_modern(M, par_t, blen_t, ch.data(), ls, g,
+                                    focal[i], cond[j], factor, num_b, den_b);
+                }
             }
         }
+    };
+
+    bool monotone = true;
+    for (int64_t t = 1; t < T && monotone; t++)
+        monotone = tree_blocks[t] >= tree_blocks[t - 1];
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = (int)std::min<int64_t>(hw ? hw : 1, 16);
+    if (!monotone || T < 2048 || nt <= 1) {
+        run_range(0, T);
+        return;
     }
+    // split at block boundaries so no block spans two threads
+    std::vector<int64_t> bounds{0};
+    for (int w = 1; w < nt; w++) {
+        int64_t t = T * w / nt;
+        while (t < T && t > 0 && tree_blocks[t] == tree_blocks[t - 1]) t++;
+        if (t > bounds.back() && t < T) bounds.push_back(t);
+    }
+    bounds.push_back(T);
+    std::vector<std::thread> th;
+    for (size_t w = 0; w + 1 < bounds.size(); w++)
+        th.emplace_back(run_range, bounds[w], bounds[w + 1]);
+    for (auto& x : th) x.join();
 }
 
 }  // extern "C"

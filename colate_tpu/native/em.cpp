@@ -422,3 +422,37 @@ extern "C" void cn_tree_populate_sorted(
     }
   }
 }
+
+// [T, M, 2] child indices (-1 for leaves) in ReadTree's fill order
+// (anc.cpp:25-32: first-seen child on the left), threaded over trees.
+extern "C" void cn_children(int64_t T, int64_t M, const int32_t* parent,
+                            int32_t* ch) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(T, 1));
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t t = lo; t < hi; t++) {
+      const int32_t* par = parent + t * M;
+      int32_t* c = ch + t * M * 2;
+      for (int64_t j = 0; j < 2 * M; j++) c[j] = -1;
+      for (int64_t j = 0; j < M; j++) {
+        int32_t p = par[j];
+        if (p < 0) continue;
+        if (c[2 * p] < 0)
+          c[2 * p] = (int32_t)j;
+        else
+          c[2 * p + 1] = (int32_t)j;
+      }
+    }
+  };
+  if (nt <= 1 || T < 1024) {
+    worker(0, T);
+    return;
+  }
+  std::vector<std::thread> th;
+  int64_t per = (T + nt - 1) / nt;
+  for (int ti = 0; ti < nt; ti++) {
+    int64_t lo = (int64_t)ti * per, hi = std::min<int64_t>(lo + per, T);
+    if (lo < hi) th.emplace_back(worker, lo, hi);
+  }
+  for (auto& x : th) x.join();
+}
