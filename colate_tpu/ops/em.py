@@ -71,12 +71,36 @@ def _epoch_tables(epochs, rates):
     return dict(lam=lam, dt=dt, H=H, S=S, P=P, T1=T1, inv_lam=inv_lam)
 
 
+def _gdiv(lam, x):
+    """g(x)/λ with g(x) = 1 − (1+x)e^{−x} and x = λ·width, evaluated
+    stably: the naive em1 − x·e^{−x} loses all precision for small x
+    (both terms ~x, difference ~x²/2); the series takes over below 0.1
+    (truncation ≤ x⁴/72 ≈ 1.4e-6 relative at the switch, far inside the
+    f32 working precision this path serves)."""
+    import jax.numpy as jnp
+
+    small = x < 0.1
+    xs = jnp.where(small, x, 0.0)
+    g_small = xs * xs * (0.5 - xs / 3.0 + xs * xs / 8.0 - xs * xs * xs / 30.0)
+    xb = jnp.where(small, 1.0, x)
+    g_big = -jnp.expm1(-xb) - xb * jnp.exp(-xb)
+    g = jnp.where(small, g_small, g_big)
+    return jnp.where(lam > 0, g / jnp.where(lam > 0, lam, 1.0), 0.0)
+
+
 def _e_step_all_bins(epochs, rates, t, k):
     """E-step for all age bins at once.
 
     epochs [E], rates [E], t [nb] point ages, k [nb] epoch index of t.
     Returns (num_s, den_s, logl_s, num_n, den_n, logl_n):
     [nb, E] x2, [nb], [nb, E] x2, [nb].
+
+    In float32 the per-epoch exposure is computed by the cancellation-
+    free identity T1_e − t_e·P_e = S_e·g(λΔ)/λ (see :func:`_gdiv`) —
+    the naive difference loses ~λ·t_e relative digits, which is what
+    produced the round-3 0.9% tail error on rates ≥ 1e6.  The f64 path
+    keeps the original expressions bit-for-bit (mc_parity byte
+    identity depends on it).
     """
     import jax.numpy as jnp
 
@@ -119,7 +143,20 @@ def _e_step_all_bins(epochs, rates, t, k):
     # are immune; this is the linear-space equivalent)
     srev = jnp.flip(jnp.cumsum(jnp.flip(num_lin, 1), axis=1), 1)
     integ = (srev - num_lin) * zinv[:, None]
-    den = texp - epochs[None, :] * post + dt_full[None, :] * integ
+    if epochs.dtype == jnp.float32:
+        # cancellation-free exposure (see docstring): full epochs e<k,
+        # the partial event epoch e==k, and the open last epoch
+        lam_full32 = tab["lam"]
+        D_body = tab["S"][:-1] * _gdiv(lam_full32[:-1], lam_full32[:-1] * tab["dt"])
+        D_last = jnp.where(
+            lam_full32[-1] > 0, tab["inv_lam"][-1] * tab["S"][-1], 0.0
+        )
+        D_full = jnp.concatenate([D_body, D_last[None]])  # [E]
+        Dk_minus = S_k * _gdiv(lam_k, dH_lo)
+        Dv = D_full[None, :] * m_lt + Dk_minus[:, None] * m_eq
+        den = Dv * zinv[:, None] + dt_full[None, :] * integ
+    else:
+        den = texp - epochs[None, :] * post + dt_full[None, :] * integ
     # open-ended last epoch has no tail term (dt_full[-1]=0 handles it);
     # epochs beyond k are untouched by the reference (stay 0)
     den = jnp.where(m_le, den, 0.0)
@@ -180,7 +217,19 @@ def _e_step_all_bins(epochs, rates, t, k):
     # denominators, coal_EM.cpp:437-440)
     srev_n = jnp.flip(jnp.cumsum(jnp.flip(raw_n, 1), axis=1), 1)
     integ_n = (srev_n - raw_n) * zrel_inv[:, None]
-    den_n = texp_n - epochs[None, :] * post_n + dt_full[None, :] * integ_n
+    if epochs.dtype == jnp.float32:
+        # stable exposures: e>k full epochs Srel·g(λΔ)/λ (inv·Srel for
+        # the open one), event epoch g(λ(t_{k+1}−t))/λ + (t−t_k)·em1_hi
+        D_rel_body = Srel * _gdiv(lam_full[None, :], lam_full[None, :] * dt_full[None, :])
+        D_rel_last = jnp.where(lam_full[-1] > 0, tab["inv_lam"][-1] * Srel, 0.0)
+        D_rel = jnp.where((e_idx[None, :] == E - 1), D_rel_last, D_rel_body)
+        Dk_plus_body = _gdiv(lam_k, dH_hi) + (t - t_k) * em1_hi
+        Dk_plus_last = jnp.where(lam_k > 0, (t - t_k) + inv_lam_k, 0.0)
+        Dk_plus = jnp.where(k < E - 1, Dk_plus_body, Dk_plus_last)
+        Dv_n = Dk_plus[:, None] * m_eq + D_rel * m_gt
+        den_n = Dv_n * zrel_inv[:, None] + dt_full[None, :] * integ_n
+    else:
+        den_n = texp_n - epochs[None, :] * post_n + dt_full[None, :] * integ_n
     den_n = jnp.clip(den_n, 0.0, None)
     num_n = jnp.where(guard_n[:, None], post_n, 0.0)
     den_n = jnp.where(guard_n[:, None], den_n, 0.0)

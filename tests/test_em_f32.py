@@ -82,3 +82,40 @@ def test_f32_em_identical_fixed_point_structure(tmp_path):
     np.testing.assert_array_equal(
         np.isclose(a, floor, rtol=1e-6), np.isclose(b, floor, rtol=1e-6)
     )
+
+
+def test_f32_den_no_cancellation_extreme_rates():
+    """The f32 E-step's per-epoch exposures must stay accurate when
+    λ·t_e is huge — the naive T1−t_e·P form lost ~λ·t_e relative digits
+    (round-3 BENCH: 0.9% on rates ≥ 1e6); the g(x)/λ identity is
+    cancellation-free.  Compare f32 den against the f64 path per bin."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from colate_tpu.config import age_bin_centers
+    from colate_tpu.ops.em import _e_step_all_bins
+
+    epochs = np.array([0.0, 10.0, 100.0, 1e3, 1e4, 1e5, 1e6])
+    # rates spanning 12 decades incl. degenerate 1e6-scale epochs
+    rates = np.array([1e-4, 1e-6, 5e-3, 1e-8, 1e2, 1e6, 1e-5])
+    t = age_bin_centers()
+    k = np.clip(np.searchsorted(epochs, t, side="right") - 1, 0, 6).astype(
+        np.int32
+    )
+    out64 = _e_step_all_bins(
+        jnp.asarray(epochs), jnp.asarray(rates), jnp.asarray(t),
+        jnp.asarray(k),
+    )
+    out32 = _e_step_all_bins(
+        jnp.asarray(epochs, jnp.float32), jnp.asarray(rates, jnp.float32),
+        jnp.asarray(t, jnp.float32), jnp.asarray(k),
+    )
+    for name, a64, a32 in (
+        ("den_s", out64[1], out32[1]),
+        ("den_n", out64[4], out32[4]),
+    ):
+        a64 = np.asarray(a64)
+        a32 = np.asarray(a32, np.float64)
+        m = np.abs(a64) > 1e-300
+        rel = np.abs(a32[m] - a64[m]) / np.abs(a64[m])
+        assert rel.max() < 5e-5, f"{name}: f32 relerr {rel.max():.2e}"

