@@ -368,7 +368,7 @@ def bench_binning(details: dict) -> None:
         float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-300))
         for a, b in zip(h_dev, h_host)
     )
-    details["binning_10M"] = {
+    entry = {
         "host_native_s": round(t_host, 2),
         "host_sites_per_sec": round(N / t_host, -3),
         "device_warm_s": round(t_dev, 2),
@@ -377,6 +377,54 @@ def bench_binning(details: dict) -> None:
         "f32_max_relerr": round(relerr, 8),
         "winner": "host" if t_host < t_dev else "device",
     }
+    # fused Pallas kernel (ops/bin_pallas.py): wall incl. host pack +
+    # tunnel transfer, and the device-resident kernel throughput (the
+    # per-device multiplier at pod scale, where chips are locally
+    # attached; this bench box reaches the chip through a tunnel whose
+    # transfer degrades after large Mosaic kernels run)
+    try:
+        import jax
+
+        from colate_tpu.ops.bin_pallas import (
+            _make_fn, _pack, _pad_pow2, bin_sites_pallas,
+        )
+
+        h_pal = bin_sites_pallas(sites)
+        if h_pal is not None:
+            t_pal = None
+            for _ in range(2):
+                t0 = time.time()
+                h_pal = bin_sites_pallas(sites)
+                dt = time.time() - t0
+                t_pal = dt if t_pal is None else min(t_pal, dt)
+            rel_p = max(
+                float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-300))
+                for a, b in zip(h_pal, h_host)
+            )
+            # device-resident: one 4.2M-site slab preloaded on device
+            ns = 1 << 22
+            n_pad = _pad_pow2(ns)
+            fv = _pack(sites, 0.0, 0, ns, n_pad, 185)
+            fn = _make_fn(n_pad, 0.0, False)
+            fvd = jax.device_put(fv)
+            np.asarray(fn(fvd))
+            t0 = time.time()
+            np.asarray(fn(fvd))
+            t_res = time.time() - t0
+            entry["pallas_wall_s"] = round(t_pal, 2)
+            entry["pallas_wall_sites_per_sec"] = round(N / t_pal, -3)
+            entry["pallas_device_resident_sites_per_sec"] = round(
+                ns / t_res, -3
+            )
+            entry["pallas_max_relerr"] = round(rel_p, 8)
+            log(
+                f"binning pallas: wall {t_pal:.2f}s "
+                f"({N / t_pal / 1e6:.1f}M/s), device-resident "
+                f"{ns / t_res / 1e6:.0f}M/s, relerr {rel_p:.1e}"
+            )
+    except Exception as e:
+        log(f"pallas binning bench unavailable: {e}")
+    details["binning_10M"] = entry
     log(
         f"binning 10M sites: host {t_host:.2f}s ({N / t_host / 1e6:.1f}M/s), "
         f"device warm {t_dev:.2f}s ({N / t_dev / 1e6:.1f}M/s), relerr {relerr:.1e}"

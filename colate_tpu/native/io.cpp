@@ -1575,13 +1575,27 @@ void* cn_tmptmp_fused_stream(
                         fc.blocks_used, nbins, edges, age, bin_c,
                         h_sh[c].data(), h_ns[c].data(), h_se[c].data(),
                         h_ne[c].data());
-      // release this chromosome's joined columns before claiming the
-      // next (blocks_used/num_sites stay for the concatenation below)
+      // release this chromosome's joined columns, prefiltered rows and
+      // mapped record pages before claiming the next — peak RSS stays a
+      // couple of chromosomes, not the genome (blocks_used/num_sites
+      // stay for the concatenation below)
       std::vector<double>().swap(fc.ab);
       std::vector<double>().swap(fc.ae);
       std::vector<double>().swap(fc.ws);
       std::vector<double>().swap(fc.wn);
       std::vector<int32_t>().swap(fc.blk);
+      pf->rows[c] = FilteredRows();
+      const size_t pg = 4096;
+      auto drop = [&](const MappedFile& m, const ColateSeg* s) {
+        if (!s || !m.map_) return;
+        size_t lo = (s->lo / pg) * pg;
+        size_t hi = ((s->hi + pg - 1) / pg) * pg;
+        if (hi > m.size) hi = (m.size / pg) * pg;
+        if (hi > lo)
+          madvise((void*)(m.data + lo), hi - lo, MADV_DONTNEED);
+      };
+      drop(tm, t_seg[c]);
+      drop(rm, r_seg[c]);
     }
   };
   unsigned hw = std::thread::hardware_concurrency();

@@ -50,11 +50,19 @@ def _pad_to(x: np.ndarray, n: int, fill=0):
 
 
 def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
-                      num_blocks: int, age: float = 0.0):
+                      num_blocks: int, age: float = 0.0,
+                      backend: str = "auto"):
     """Data-parallel analytic binning: shard sites, psum block histograms.
 
     Inputs are host numpy arrays; returns the four [num_blocks, 185]
     float64 histograms (replicated).
+
+    backend="pallas" runs the fused TPU kernel (ops/bin_pallas.py) on
+    each device's local shard — the [bins, C] overlap matrices and the
+    block contraction stay in VMEM, and only the [blocks, 4*bins]
+    partials cross the mesh in the final psum.  "xla" keeps the
+    segment-sum path; "auto" picks pallas on TPU meshes when the block
+    count fits the resident accumulator.
     """
     import jax
     import jax.numpy as jnp
@@ -63,6 +71,25 @@ def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
 
     nd = mesh.devices.size
     n = age_begin.shape[0]
+
+    if backend == "auto":
+        on_cpu = all(d.platform == "cpu" for d in mesh.devices.ravel())
+        from colate_tpu.ops import bin_pallas as _bp
+
+        backend = (
+            "pallas"
+            if (not on_cpu and num_blocks + 16 <= _bp._NB_MAX)
+            else "xla"
+        )
+    if backend == "pallas":
+        out = _sharded_bin_pallas(
+            mesh, age_begin, age_end, w_shared, w_notshared, block_id,
+            num_blocks, age,
+        )
+        if out is not None:
+            return out
+        # fall through to the XLA path on any inapplicability
+
     n_pad = ((n + nd - 1) // nd) * nd if n else nd
     # padding sites carry zero weight -> no effect on histograms
     ab = _pad_to(np.asarray(age_begin, np.float64), n_pad)
@@ -76,6 +103,82 @@ def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
     args = [jax.device_put(a, sh) for a in (ab, ae, ws, wn, blk)]
     out = fn(*args)
     return tuple(np.asarray(o) for o in out)
+
+
+def _sharded_bin_pallas(mesh, age_begin, age_end, w_shared, w_notshared,
+                        block_id, num_blocks: int, age: float):
+    """Fused-kernel binning per shard + one psum (see sharded_bin_sites).
+
+    Every device runs the Pallas kernel over its local feature slab
+    (grid over chunks, [blocks, 4*bins] accumulator resident in VMEM);
+    the cross-device merge is one psum of those partials.  Returns None
+    when the kernel's preconditions fail (block span per chunk, id
+    order) — the caller's XLA path covers those.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from colate_tpu.config import NUM_AGE_BINS
+    from colate_tpu.ops import bin_pallas as bp
+
+    nd = mesh.devices.size
+    n = age_begin.shape[0]
+    blk_all = np.asarray(block_id, np.int64)
+    if n and np.any(blk_all[1:] < blk_all[:-1]):
+        return None
+    # per-shard slabs must satisfy the per-chunk block-span bound; the
+    # shard boundaries only make chunks start earlier, never wider
+    if n:
+        starts = np.arange(0, n, bp._C)
+        ends = np.minimum(starts + bp._C - 1, n - 1)
+        if np.any(blk_all[ends] - blk_all[starts] >= 8):
+            return None
+
+    # pack per-shard feature slabs with the shared host packer
+    per = -(-max(n, 1) // nd)
+    n_pad = bp._pad_pow2(per)
+    sites = type(
+        "S", (), dict(
+            age_begin=np.asarray(age_begin, np.float64),
+            age_end=np.asarray(age_end, np.float64),
+            w_shared=np.asarray(w_shared, np.float64),
+            w_notshared=np.asarray(w_notshared, np.float64),
+            block_id=blk_all,
+        ),
+    )()
+    slabs = np.zeros((nd, bp._ROWS, n_pad), np.float32)
+    for d in range(nd):
+        lo = min(d * per, n)
+        hi = min(lo + per, n)
+        if hi > lo:
+            slabs[d] = bp._pack(sites, age, lo, hi, n_pad, NUM_AGE_BINS)
+        else:
+            slabs[d, 0] = 1.0
+            slabs[d, 1] = 2.0
+
+    on_cpu = all(dv.platform == "cpu" for dv in mesh.devices.ravel())
+    kern = bp._make_fn(n_pad, float(age), bool(on_cpu))
+
+    def local(fv):
+        acc = kern(fv[0])
+        return jax.lax.psum(acc, "d")
+
+    mapped = jax.jit(
+        shard_map(
+            local, mesh=mesh, in_specs=(P("d"),), out_specs=P(),
+            check_vma=False,
+        )
+    )
+    sh = NamedSharding(mesh, P("d"))
+    acc = np.asarray(mapped(jax.device_put(slabs, sh)), np.float64)
+    nb = max(num_blocks, 1)
+    nbins = NUM_AGE_BINS
+    return tuple(
+        acc[:nb, j * bp._BINS_SUB : j * bp._BINS_SUB + nbins][:num_blocks]
+        for j in range(4)
+    )
 
 
 @functools.lru_cache(maxsize=8)

@@ -34,3 +34,28 @@ def test_sharded_pallas_bit_equal_to_single_device():
     np.testing.assert_array_equal(np.asarray(it1), it4)
     np.testing.assert_allclose(np.asarray(r1), r4, rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(ll1), ll4, rtol=0, atol=0)
+
+
+def test_sharded_bin_pallas_matches_xla():
+    """Mesh-sharded fused binning (pallas per shard + psum) vs the
+    segment-sum shard_map path on the virtual CPU mesh."""
+    import numpy as np
+
+    from colate_tpu.parallel.mesh import make_mesh, sharded_bin_sites
+
+    g = np.random.default_rng(12)
+    n, nb = 40000, 9
+    ab = np.exp(g.uniform(np.log(1e-1), np.log(1e4), n))
+    ae = ab * np.exp(g.uniform(0.05, 2.0, n))
+    emp = g.uniform(size=n) < 0.2
+    ab[emp] = 0.0
+    ws = g.uniform(0, 2, n)
+    wn = g.uniform(0, 2, n)
+    blk = np.sort(g.integers(0, nb, n)).astype(np.int32)
+    mesh = make_mesh(4)
+    out_x = sharded_bin_sites(mesh, ab, ae, ws, wn, blk, nb, backend="xla")
+    out_p = sharded_bin_sites(mesh, ab, ae, ws, wn, blk, nb, backend="pallas")
+    assert out_p is not None
+    for a, b in zip(out_p, out_x):
+        denom = max(np.abs(b).max(), 1e-300)
+        assert np.abs(a - b).max() / denom < 3e-5
