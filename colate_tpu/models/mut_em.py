@@ -473,6 +473,48 @@ def finish_from_suffstats(
             em_provider=provider,
         )
 
+    if cfg.checkpoint and not parity:
+        # engine-level resume THROUGH the estimator: the EM loop state
+        # (it, rates, logl, conv, iters) checkpoints every few thousand
+        # iterations, so a killed run resumes mid-EM and writes the
+        # identical .coal (ops/em.py:run_em_checkpointed; generalises
+        # the reference's post-parse cache seam, coal.cpp:3169-3171)
+        import hashlib
+
+        from colate_tpu.ops.em import run_em_checkpointed
+
+        if em_dtype == "auto":
+            import jax as _jax
+
+            em_dtype = (
+                "float64" if _jax.default_backend() == "cpu" else "float32"
+            )
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(epochs).tobytes())
+        h.update(np.ascontiguousarray(shared_counts).tobytes())
+        h.update(np.ascontiguousarray(notshared_counts).tobytes())
+        h.update(f"{B}:{em_dtype}".encode())
+        fp = h.hexdigest()
+        rates, logl, iters = run_em_checkpointed(
+            epochs, init_rates, shared_counts, notshared_counts,
+            cfg.output + ".emstate.npz", fp, dtype=em_dtype,
+        )
+        provider = f"jax:{em_dtype}(checkpointed)"
+        rates = np.asarray(rates)
+        logl = np.asarray(logl)
+        iters = np.asarray(iters)
+        timings["em"] = time.time() - t0
+        from colate_tpu.utils.progress import log_event as _log
+
+        _log("mut_em", provider=provider, iters=int(np.max(iters)),
+             sec=round(timings["em"], 4))
+        return MutResult(
+            epochs=epochs, rates=rates, logl=logl, iterations=iters,
+            num_sites=num_sites, num_blocks=num_blocks,
+            is_ancient=is_ancient, ep_null=ep_null, timings=timings,
+            em_provider=provider,
+        )
+
     if em_dtype == "auto" and B <= EM_HOST_MAX_B and not parity:
         # One-shot host/device crossover measured at B ≈ 800 on a v5e
         # (see config.EM_HOST_MAX_B): below it the host provider

@@ -464,7 +464,9 @@ def run_em_native(
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("max_iter", "min_iter", "dtype", "check_every"),
+    static_argnames=(
+        "max_iter", "min_iter", "dtype", "check_every", "return_state"
+    ),
 )
 def run_em(
     epochs,
@@ -475,6 +477,8 @@ def run_em(
     min_iter: int = EM_MIN_ITER,
     dtype: str | None = None,
     check_every: int | None = None,
+    resume_state=None,
+    return_state: bool = False,
 ):
     """EM to convergence for all bootstrap replicates in parallel.
 
@@ -565,12 +569,107 @@ def run_em(
     # their varying-across-mesh type matches the loop body's outputs when
     # run_em executes inside shard_map (bootstrap-parallel EM)
     zero_b = sc[:, 0] * 0.0
-    state0 = (
-        jnp.zeros((), jnp.int32),
-        init_rates[None, :].astype(wdt) + zero_b[:, None],
-        zero_b.astype(f64) - jnp.inf,
-        zero_b > 1.0,
-        zero_b.astype(jnp.int32),
-    )
+    if resume_state is None:
+        state0 = (
+            jnp.zeros((), jnp.int32),
+            init_rates[None, :].astype(wdt) + zero_b[:, None],
+            zero_b.astype(f64) - jnp.inf,
+            zero_b > 1.0,
+            zero_b.astype(jnp.int32),
+        )
+    else:
+        r_it, r_rates, r_ll, r_conv, r_iters = resume_state
+        state0 = (
+            jnp.asarray(r_it, jnp.int32),
+            jnp.asarray(r_rates, wdt),
+            jnp.asarray(r_ll, f64),
+            jnp.asarray(r_conv, bool),
+            jnp.asarray(r_iters, jnp.int32),
+        )
     it, rates, ll, conv, iters = jax.lax.while_loop(cond, body, state0)
+    if return_state:
+        return it, rates, ll, conv, iters
     return rates.astype(epochs.dtype), ll, iters
+
+
+def run_em_checkpointed(
+    epochs,
+    init_rates,
+    shared_counts,
+    notshared_counts,
+    ckpt_path: str,
+    fingerprint: str,
+    dtype: str | None = None,
+    chunk: int = 4096,
+):
+    """The EM fixed point with mid-run checkpointing: the while-loop is
+    driven in chunks of ``chunk`` iterations, persisting the FULL loop
+    state (it, rates, logl, conv, iters) to ``ckpt_path`` after each
+    chunk.  A killed run resumes from the exact saved state, so the
+    final ``.coal`` is identical to an uninterrupted run (the chunk
+    boundary only caps the while-loop's max_iter; the per-iteration
+    sequence is unchanged).  The reference's only resume seam is its
+    post-parse matrix cache (coal.cpp:3169-3171) — this generalises it
+    through the estimator itself (SURVEY §5).
+
+    COLATE_EM_DIE_AFTER_CHUNKS=<k> hard-exits after the k-th checkpoint
+    write (the kill-and-resume test hook).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    import numpy as _np
+
+    wdt_name = "float64" if dtype in (None, "float64") else "float32"
+    state = None
+    if os.path.exists(ckpt_path):
+        try:
+            z = _np.load(ckpt_path, allow_pickle=False)
+            if str(z["fingerprint"]) == fingerprint and str(z["dtype"]) == wdt_name:
+                state = (
+                    z["it"], z["rates"], z["ll"], z["conv"], z["iters"]
+                )
+        except Exception:
+            state = None
+
+    die_after = int(os.environ.get("COLATE_EM_DIE_AFTER_CHUNKS", "0"))
+    chunk = int(os.environ.get("COLATE_EM_CKPT_CHUNK", str(chunk)))
+    chunks_done = 0
+    ep = jnp.asarray(epochs)
+    ir = jnp.asarray(init_rates)
+    sc = jnp.asarray(shared_counts)
+    nc = jnp.asarray(notshared_counts)
+    while True:
+        it0 = 0 if state is None else int(state[0])
+        bound = min(it0 + int(chunk), EM_MAX_ITER)
+        out = run_em(
+            ep, ir, sc, nc, max_iter=bound, dtype=dtype,
+            resume_state=None if state is None else tuple(
+                jnp.asarray(s) for s in state
+            ),
+            return_state=True,
+        )
+        state = tuple(_np.asarray(s) for s in out)
+        done = bool(state[3].all()) or int(state[0]) >= EM_MAX_ITER
+        tmp = ckpt_path + ".tmp"
+        _np.savez(
+            tmp if not tmp.endswith(".npz") else tmp,
+            fingerprint=fingerprint, dtype=wdt_name,
+            it=state[0], rates=state[1], ll=state[2], conv=state[3],
+            iters=state[4],
+        )
+        os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), ckpt_path)
+        chunks_done += 1
+        if die_after and chunks_done >= die_after and not done:
+            os._exit(17)
+        if done:
+            break
+    try:
+        os.remove(ckpt_path)
+    except OSError:
+        pass
+    rates = state[1]
+    if rates.dtype != _np.asarray(epochs).dtype:
+        rates = rates.astype(_np.asarray(epochs).dtype)
+    return rates, state[2], state[4]
