@@ -52,6 +52,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--groups")
     p.add_argument("--poplabels")
     p.add_argument("--map")
+    p.add_argument("--dist",
+                   help="mode tree: per-chromosome <dist>_chr<name>.dist "
+                        "files providing (pos, dist) spans instead of the "
+                        ".mut dist column (relate_lib AncMutIterators "
+                        "3-arg constructor, mutations.cpp:399-465)")
     p.add_argument("-i", "--input")
     p.add_argument("-o", "--output", required=True)
     # engine extensions

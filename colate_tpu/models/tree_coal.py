@@ -66,6 +66,57 @@ def tree_spans(anc: AncFile, mut: MutTable) -> np.ndarray:
     return spans
 
 
+def tree_spans_dist(anc: AncFile, mut: MutTable, dist_path: str) -> np.ndarray:
+    """[num_trees] float64 spans from a separate ``.dist`` file — the
+    AncMutIterators (anc, mut, dist) constructor + NextTree semantics
+    (mutations.cpp:399-465, 616-668): the file holds (pos, dist) rows
+    (header skipped); the cursor skips file entries below a tree's
+    first mutation position, takes the half-dist of the file entry
+    preceding it, sums the file dists aligned 1:1 with the tree's
+    mutation rows (positions must match — the reference asserts), and
+    subtracts half of the last consumed dist when the file continues."""
+    with open(dist_path) as fh:
+        lines = fh.read().split()
+    # header = 2 tokens; rows follow as pos dist pairs
+    vals = np.array(lines[2:], np.float64)
+    fpos = vals[0::2].astype(np.int64)
+    fdist = vals[1::2]
+
+    T = anc.num_trees
+    spans = np.zeros(T, np.float64)
+    n = len(mut)
+    if n == 0 or fpos.size == 0:
+        return spans
+    tree_of_row = mut.tree
+    pos = mut.pos.astype(np.int64)
+    # per-row file index; the reference walks the cursor forward and
+    # asserts *it_pos == row pos for every row of a tree
+    j = np.searchsorted(fpos, pos, side="left")
+    if np.any(j >= fpos.size) or np.any(fpos[np.minimum(j, fpos.size - 1)] != pos):
+        bad = int(np.nonzero(
+            (j >= fpos.size)
+            | (fpos[np.minimum(j, fpos.size - 1)] != pos)
+        )[0][0])
+        raise ValueError(
+            f"{dist_path}: no entry for .mut position {int(pos[bad])} "
+            "(the reference asserts file/mut position alignment)"
+        )
+    uniq, first = np.unique(tree_of_row, return_index=True)
+    m = (uniq >= 0) & (uniq < T)
+    uniq, first = uniq[m], first[m]
+    uniq_r, last_rev = np.unique(tree_of_row[::-1], return_index=True)
+    mr = (uniq_r >= 0) & (uniq_r < T)
+    last = (n - 1 - last_rev[mr])[np.argsort(uniq_r[mr])]
+    j0 = j[first]
+    j1 = j[last]
+    csum = np.concatenate([[0.0], np.cumsum(fdist)])
+    s = csum[j1 + 1] - csum[j0]
+    s += np.where(j0 > 0, fdist[np.maximum(j0 - 1, 0)] / 2.0, 0.0)
+    s -= np.where(j1 + 1 < fpos.size, fdist[j1] / 2.0, 0.0)
+    spans[uniq] = s
+    return spans
+
+
 def _populate_numpy_chunk(coords, spans, epochs, N):
     """Per-tree [E] num/denom for one chunk of trees — the host oracle
     for the device kernel (ops/tree_kernel.py), kept in the reference's
@@ -125,6 +176,7 @@ def accumulate_tree_stats(
     num: np.ndarray,
     denom: np.ndarray,
     backend: str = "auto",
+    dist_file: str | None = None,
 ) -> int:
     """Add one chromosome's per-block [E] num/denom; returns #blocks used.
 
@@ -135,7 +187,12 @@ def accumulate_tree_stats(
     N = anc.n_hap
     T = anc.num_trees
     E = epochs.shape[0]
-    spans = np.float32(tree_spans(anc, mut)).astype(np.float64)  # driver float
+    spans_f64 = (
+        tree_spans_dist(anc, mut, dist_file)
+        if dist_file
+        else tree_spans(anc, mut)
+    )
+    spans = np.float32(spans_f64).astype(np.float64)  # driver float
     coords = node_ages(anc)  # [T, M] f32
     M = coords.shape[1]
     nb_local = T // BLOCK_SIZE_TREES + 1
@@ -272,6 +329,11 @@ def run_tree_mode(args) -> int:
     for c in chroms:
         anc = AncFile.read(f"{args.input}_chr{c}.anc", columns="tree")
         mut = MutTable.read(f"{args.input}_chr{c}.mut")
+        dist_file = None
+        if getattr(args, "dist", None):
+            # engine extension: spans from a separate .dist file (the
+            # relate_lib AncMutIterators 3-arg ctor, mutations.cpp:399-465)
+            dist_file = f"{args.dist}_chr{c}.dist"
         need = nb + anc.num_trees // BLOCK_SIZE_TREES + 1
         if need > num.shape[0]:
             grow = max(need, 2 * num.shape[0])
@@ -279,7 +341,8 @@ def run_tree_mode(args) -> int:
             denom = np.concatenate(
                 [denom, np.zeros((grow - denom.shape[0], E))]
             )
-        nb += accumulate_tree_stats(anc, mut, epochs, nb, num, denom)
+        nb += accumulate_tree_stats(anc, mut, epochs, nb, num, denom,
+                                    dist_file=dist_file)
         log_event("tree_chrom", chrom=c, trees=anc.num_trees, blocks=nb)
     B = args.num_bootstraps or 1
     w = bootstrap_block_weights_tree(B, nb)

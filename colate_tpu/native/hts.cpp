@@ -33,6 +33,8 @@
 
 #include <zlib.h>
 
+#include "cram.hpp"
+
 namespace {
 
 static void set_err(char* errbuf, int errlen, const char* msg) {
@@ -460,10 +462,258 @@ struct BamStream {
 };
 
 // ---------------------------------------------------------------------------
+// CRAM record stream: the from-scratch CRAM 3.0 decoder (cram.hpp)
+// re-packed into the BAM wire layout so the pileup (and the reference's
+// garbled-qual quirk) work identically on CRAM input.  Sequence
+// reconstruction needs the contig's reference bases, which the pileup
+// learns at query time — so bases materialise lazily via set_ref().
+// ---------------------------------------------------------------------------
+struct CramStream {
+  cramdec::Reader rd;
+  cramdec::Record cur;
+  std::vector<unsigned char> rec;  // BAM-layout record (seq materialised)
+  bool seq_done = false;
+  const uint8_t* ref_ = nullptr;
+  int64_t ref_len_ = 0;
+  std::string err;
+
+  int32_t refid = -1;
+  int64_t pos = 0;
+  int mapq = 0;
+  int flag = 0;
+  int32_t l_seq = 0;
+  int l_read_name = 0;
+  int n_cigar = 0;  // always 0 in the repacked layout
+
+  bool open(const char* path, char* errbuf, int errlen) {
+    if (!rd.open(path)) {
+      set_err(errbuf, errlen, rd.err.c_str());
+      return false;
+    }
+    return true;
+  }
+
+  void set_ref(const uint8_t* r, int64_t n) {
+    ref_ = r;
+    ref_len_ = n;
+  }
+
+  bool next() {
+    for (;;) {
+      if (rd.next_record(cur)) break;
+      if (!rd.err.empty()) {
+        err = rd.err;
+        return false;
+      }
+      if (!rd.next_slice()) return false;  // EOF or error
+    }
+    refid = cur.refid;
+    pos = cur.pos;
+    mapq = cur.mapq;
+    flag = cur.flag;
+    l_seq = cur.l_seq;
+    l_read_name = (int)cur.name.size() + 1;
+    n_cigar = 0;
+    seq_done = false;
+    return true;
+  }
+
+  const char* contig() const {
+    if (refid < 0 || (size_t)refid >= rd.refs.size()) return "*";
+    return rd.refs[(size_t)refid].c_str();
+  }
+
+  static int nt16(char b) {
+    switch (b & ~0x20) {  // uppercase
+      case 'A': return 1;
+      case 'C': return 2;
+      case 'G': return 4;
+      case 'T': return 8;
+      case '=': return 0;
+      default: return 15;  // N and anything else
+    }
+  }
+  static int acgtn_row(uint8_t b) {
+    switch (b & ~0x20) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+      default: return 4;
+    }
+  }
+
+  // build the BAM-layout record: bases from reference + features, then
+  // 4-bit packing and the quals straight after (BamStream layout)
+  void materialize() {
+    if (seq_done) return;
+    seq_done = true;
+    static const char ACGTN[5] = {'A', 'C', 'G', 'T', 'N'};
+    const int32_t L = l_seq;
+    std::string bases((size_t)L, 'N');
+    int64_t gpos = cur.pos;
+    int32_t rpos = 1;  // 1-based read cursor
+    auto ref_base = [&](int64_t g) -> char {
+      if (!ref_ || g < 0 || g >= ref_len_) return 'N';
+      return (char)ref_[g];
+    };
+    auto fill_ref = [&](int32_t upto) {  // copy ref bases for read pos < upto
+      while (rpos < upto && rpos <= L) {
+        bases[(size_t)rpos - 1] = ref_base(gpos);
+        gpos++;
+        rpos++;
+      }
+    };
+    for (const auto& ft : cur.feats) {
+      fill_ref(ft.rpos);
+      switch (ft.code) {
+        case 'X': {
+          char rb = ref_base(gpos);
+          int row = acgtn_row((uint8_t)rb);
+          // invert the substitution matrix row: codes are assigned to
+          // the four non-ref bases in ACGTN order, two bits each from
+          // the high end (CRAM 3.0 §10.4)
+          uint8_t smrow = rd.ch.sm[row];
+          char out = 'N';
+          int slot = 0;
+          for (int b = 0; b < 5; b++) {
+            if (b == row) continue;
+            int code = (smrow >> (6 - 2 * slot)) & 3;
+            if (code == (int)ft.val) {
+              out = ACGTN[b];
+              break;
+            }
+            slot++;
+          }
+          if (rpos <= L) bases[(size_t)rpos - 1] = out;
+          gpos++;
+          rpos++;
+          break;
+        }
+        case 'S':
+        case 'I':
+        case 'i': {
+          for (char b : ft.bytes) {
+            if (rpos <= L) bases[(size_t)rpos - 1] = b;
+            rpos++;
+          }
+          break;
+        }
+        case 'b':
+        case 'B': {  // 'B': single base+qual pair, ref-consuming
+          for (char b : ft.bytes) {
+            if (rpos <= L) bases[(size_t)rpos - 1] = b;
+            rpos++;
+            gpos++;
+          }
+          break;
+        }
+        case 'D':
+        case 'N':
+          gpos += ft.val;
+          break;
+        case 'P':
+        case 'H':
+        case 'Q':
+        case 'q':
+          break;  // no base/ref movement
+        default:
+          break;
+      }
+    }
+    fill_ref(L + 1);
+
+    const size_t n_seq4 = ((size_t)L + 1) / 2;
+    rec.assign(32 + (size_t)l_read_name + n_seq4 + (size_t)L, 0);
+    std::memcpy(rec.data(), &refid, 4);
+    int32_t pos32 = (int32_t)pos;
+    std::memcpy(rec.data() + 4, &pos32, 4);
+    rec[8] = (unsigned char)l_read_name;
+    rec[9] = (unsigned char)mapq;
+    uint16_t flg = (uint16_t)flag;
+    std::memcpy(rec.data() + 14, &flg, 2);
+    std::memcpy(rec.data() + 16, &l_seq, 4);
+    std::memcpy(rec.data() + 32, cur.name.data(), cur.name.size());
+    unsigned char* s4 = rec.data() + 32 + l_read_name;
+    for (int32_t j = 0; j < L; j++) {
+      int v = nt16(bases[(size_t)j]);
+      if (j & 1)
+        s4[j >> 1] |= (unsigned char)v;
+      else
+        s4[j >> 1] = (unsigned char)(v << 4);
+    }
+    unsigned char* q = s4 + n_seq4;
+    for (int32_t j = 0; j < L && (size_t)j < cur.quals.size(); j++)
+      q[j] = cur.quals[(size_t)j];
+  }
+
+  const unsigned char* seq4() {
+    materialize();
+    return rec.data() + 32 + l_read_name;
+  }
+  const unsigned char* qual() { return seq4() + (l_seq + 1) / 2; }
+  char base_at(int j) {
+    unsigned v = seq4()[j >> 1];
+    return NT16_STR[(j & 1) ? (v & 0xF) : (v >> 4)];
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Stream wrapper: BAM (bgzf) or CRAM behind one interface, chosen by
+// file magic — the reference reaches both through htslib's sam_open
+// (include/vcf/htslib.cpp:171-230).
+// ---------------------------------------------------------------------------
+struct AlnStream {
+  BamStream bam;
+  CramStream cram;
+  bool is_cram = false;
+  // mirrored fields of the current record (BamPileup reads these)
+  int32_t refid = -1;
+  int64_t pos = 0;
+  int mapq = 0;
+  int flag = 0;
+  int32_t l_seq = 0;
+
+  bool open(const char* path, char* errbuf, int errlen) {
+    FILE* probe = fopen(path, "rb");
+    if (!probe) {
+      set_err(errbuf, errlen, "cannot open alignment file");
+      return false;
+    }
+    char magic[4] = {0};
+    size_t got = fread(magic, 1, 4, probe);
+    fclose(probe);
+    is_cram = got == 4 && std::memcmp(magic, "CRAM", 4) == 0;
+    return is_cram ? cram.open(path, errbuf, errlen)
+                   : bam.open(path, errbuf, errlen);
+  }
+  void set_ref(const uint8_t* r, int64_t n) {
+    if (is_cram) cram.set_ref(r, n);
+  }
+  bool next() {
+    bool ok = is_cram ? cram.next() : bam.next();
+    if (ok) {
+      refid = is_cram ? cram.refid : bam.refid;
+      pos = is_cram ? cram.pos : bam.pos;
+      mapq = is_cram ? cram.mapq : bam.mapq;
+      flag = is_cram ? cram.flag : bam.flag;
+      l_seq = is_cram ? cram.l_seq : bam.l_seq;
+    }
+    return ok;
+  }
+  const char* contig() const {
+    return is_cram ? cram.contig() : bam.contig();
+  }
+  const unsigned char* seq4() { return is_cram ? cram.seq4() : bam.seq4(); }
+  const unsigned char* qual() { return is_cram ? cram.qual() : bam.qual(); }
+  char base_at(int j) { return is_cram ? cram.base_at(j) : bam.base_at(j); }
+};
+
+// ---------------------------------------------------------------------------
 // Query-driven pileup cursor (bam_parser semantics, htslib.cpp:60-169).
 // ---------------------------------------------------------------------------
 struct BamPileup {
-  BamStream bam;
+  AlnStream bam;
   int mapq_th = 20, len_th = 30, mismatch_th = 10, bq_th = 30;
   bool strandfilter = false;
 
@@ -903,6 +1153,7 @@ int cn_bam_contig(void* hv, const char* contig, const uint8_t* ref,
   h->nq = nq;
   h->out_claimed = out_claimed;
   h->out_counts = out_counts;
+  h->bam.set_ref(ref, ref_len);  // CRAM sequence reconstruction
   std::memset(out_claimed, 0, (size_t)nq);
   std::memset(out_counts, 0, (size_t)nq * 4 * sizeof(int32_t));
   int rc = h->run_contig(contig);
