@@ -234,3 +234,233 @@ def tables_to_anc(tables: TreeSequenceTables, n_hap: int) -> AncFile:
         snp_begin=np.zeros((T, M), np.int32),
         snp_end=np.zeros((T, M), np.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary ``.trees`` (kastore) interchange — from scratch.
+#
+# The reference stores tree sequences through the vendored tskit C
+# library (file format 12 over kastore v1; src/tskit/kastore.c,
+# tables.c).  This is an independent implementation of both layers'
+# on-disk formats: kastore = 64-byte header (magic, version, item
+# count, file size) + 64-byte item descriptors (type @0, key
+# start/len @8/@16, array start/len @24/@32) + keys (sorted) + 8-byte
+# aligned little-endian arrays.
+# ---------------------------------------------------------------------------
+
+_KAS_MAGIC = b"\x89KAS\r\n\x1a\n"
+_KAS_DTYPES = {
+    0: np.dtype("i1"), 1: np.dtype("u1"), 2: np.dtype("<i2"),
+    3: np.dtype("<u2"), 4: np.dtype("<i4"), 5: np.dtype("<u4"),
+    6: np.dtype("<i8"), 7: np.dtype("<u8"), 8: np.dtype("<f4"),
+    9: np.dtype("<f8"),
+}
+_KAS_CODES = {v: k for k, v in _KAS_DTYPES.items()}
+
+
+def kastore_read(path: str) -> dict[str, np.ndarray]:
+    """Read a kastore v1 container into {key: array}."""
+    import struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:8] != _KAS_MAGIC:
+        raise ValueError(f"{path}: not a kastore file")
+    vmaj, vmin = struct.unpack_from("<HH", data, 8)
+    if vmaj != 1:
+        raise ValueError(f"{path}: unsupported kastore major version {vmaj}")
+    (nitems,) = struct.unpack_from("<I", data, 12)
+    out = {}
+    off = 64
+    for _ in range(nitems):
+        (ty,) = struct.unpack_from("<B", data, off)
+        ks, kl, ast, al = struct.unpack_from("<QQQQ", data, off + 8)
+        key = data[ks : ks + kl].decode()
+        dt = _KAS_DTYPES[ty]
+        out[key] = np.frombuffer(data, dtype=dt, count=al, offset=ast).copy()
+        off += 64
+    return out
+
+
+def kastore_write(path: str, items: dict[str, np.ndarray]) -> None:
+    """Write a kastore v1 container (keys sorted, arrays 8-aligned)."""
+    import struct
+
+    keys = sorted(items)
+    arrs = []
+    for k in keys:
+        a = np.ascontiguousarray(items[k])
+        if a.dtype == np.dtype("S1") or a.dtype.kind == "S":
+            a = np.frombuffer(a.tobytes(), np.int8)
+        if a.dtype not in _KAS_CODES:
+            a = a.astype(np.dtype(a.dtype.str.replace(">", "<")))
+        arrs.append(a)
+    n = len(keys)
+    off = 64 + 64 * n
+    key_starts = []
+    for k in keys:
+        key_starts.append(off)
+        off += len(k.encode())
+    arr_starts = []
+    for a in arrs:
+        if off % 8:
+            off += 8 - off % 8
+        arr_starts.append(off)
+        off += a.nbytes
+    file_size = off
+    buf = bytearray(file_size)
+    buf[:8] = _KAS_MAGIC
+    struct.pack_into("<HH", buf, 8, 1, 1)
+    struct.pack_into("<I", buf, 12, n)
+    struct.pack_into("<Q", buf, 16, file_size)
+    for i, (k, a) in enumerate(zip(keys, arrs)):
+        d = 64 + 64 * i
+        struct.pack_into("<B", buf, d, _KAS_CODES[a.dtype])
+        struct.pack_into(
+            "<QQQQ", buf, d + 8, key_starts[i], len(k.encode()),
+            arr_starts[i], a.shape[0],
+        )
+        kb = k.encode()
+        buf[key_starts[i] : key_starts[i] + len(kb)] = kb
+        buf[arr_starts[i] : arr_starts[i] + a.nbytes] = a.tobytes()
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+
+
+def _ragged(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(blob int8, offsets uint32) for a tskit ragged char column."""
+    blob = "".join(str(s) for s in strings).encode()
+    off = np.zeros(len(strings) + 1, np.uint32)
+    np.cumsum([len(str(s).encode()) for s in strings], out=off[1:])
+    return (
+        np.frombuffer(blob, np.uint8).copy() if blob else np.zeros(0, np.uint8),
+        off,
+    )
+
+
+def _build_indexes(tables: TreeSequenceTables):
+    """tskit edge indexes (tsk_table_collection_build_index semantics):
+    insertion order sorts by (left, parent time, parent, child);
+    removal order by (right, -parent time, -parent, -child)."""
+    pt = tables.node_time[tables.edge_parent]
+    ins = np.lexsort(
+        (tables.edge_child, tables.edge_parent, pt, tables.edge_left)
+    ).astype(np.int32)
+    rem = np.lexsort(
+        (-tables.edge_child, -tables.edge_parent, -pt, tables.edge_right)
+    ).astype(np.int32)
+    return ins, rem
+
+
+def write_trees_file(tables: TreeSequenceTables, path: str) -> None:
+    """Write a binary tskit ``.trees`` (file format 12) the reference's
+    vendored tskit loads (ConvertFromTreeSequence round-trip tested);
+    edges are stored in insertion-sorted order as tskit requires."""
+    # tskit requires edges sorted by (time[parent], parent, child, left)
+    pt = tables.node_time[tables.edge_parent]
+    order = np.lexsort(
+        (tables.edge_left, tables.edge_child, tables.edge_parent, pt)
+    )
+    t = TreeSequenceTables(
+        node_time=tables.node_time,
+        node_is_sample=tables.node_is_sample,
+        edge_left=tables.edge_left[order],
+        edge_right=tables.edge_right[order],
+        edge_parent=tables.edge_parent[order],
+        edge_child=tables.edge_child[order],
+        site_pos=tables.site_pos,
+        site_ancestral=tables.site_ancestral,
+        mut_site=tables.mut_site,
+        mut_node=tables.mut_node,
+        mut_derived=tables.mut_derived,
+        sequence_length=tables.sequence_length,
+    )
+    nn = t.node_time.shape[0]
+    ns = t.site_pos.shape[0]
+    sa_blob, sa_off = _ragged(t.site_ancestral)
+    md_blob, md_off = _ragged(t.mut_derived)
+    ins, rem = _build_indexes(t)
+    z1u = np.zeros(1, np.uint32)
+    items = {
+        "format/name": np.frombuffer(b"tskit.trees", np.int8).copy(),
+        "format/version": np.array([12, 0], np.uint32),
+        "sequence_length": np.array([t.sequence_length], np.float64),
+        "uuid": np.frombuffer(b"0" * 36, np.int8).copy(),
+        "nodes/time": t.node_time.astype(np.float64),
+        "nodes/flags": np.where(t.node_is_sample, 1, 0).astype(np.uint32),
+        "nodes/population": np.full(nn, -1, np.int32),
+        "nodes/individual": np.full(nn, -1, np.int32),
+        "nodes/metadata": np.zeros(0, np.uint8),
+        "nodes/metadata_offset": np.zeros(nn + 1, np.uint32),
+        "edges/left": t.edge_left.astype(np.float64),
+        "edges/right": t.edge_right.astype(np.float64),
+        "edges/parent": t.edge_parent.astype(np.int32),
+        "edges/child": t.edge_child.astype(np.int32),
+        "sites/position": t.site_pos.astype(np.float64),
+        "sites/ancestral_state": sa_blob,
+        "sites/ancestral_state_offset": sa_off,
+        "sites/metadata": np.zeros(0, np.uint8),
+        "sites/metadata_offset": np.zeros(ns + 1, np.uint32),
+        "mutations/site": t.mut_site.astype(np.int32),
+        "mutations/node": t.mut_node.astype(np.int32),
+        "mutations/parent": np.full(ns, -1, np.int32),
+        "mutations/derived_state": md_blob,
+        "mutations/derived_state_offset": md_off,
+        "mutations/metadata": np.zeros(0, np.uint8),
+        "mutations/metadata_offset": np.zeros(ns + 1, np.uint32),
+        "individuals/flags": np.zeros(0, np.uint32),
+        "individuals/location": np.zeros(0, np.float64),
+        "individuals/location_offset": z1u,
+        "individuals/metadata": np.zeros(0, np.uint8),
+        "individuals/metadata_offset": z1u,
+        "populations/metadata": np.zeros(0, np.uint8),
+        "populations/metadata_offset": z1u,
+        "migrations/left": np.zeros(0, np.float64),
+        "migrations/right": np.zeros(0, np.float64),
+        "migrations/node": np.zeros(0, np.int32),
+        "migrations/source": np.zeros(0, np.int32),
+        "migrations/dest": np.zeros(0, np.int32),
+        "migrations/time": np.zeros(0, np.float64),
+        "provenances/record": np.zeros(0, np.uint8),
+        "provenances/record_offset": z1u,
+        "provenances/timestamp": np.zeros(0, np.uint8),
+        "provenances/timestamp_offset": z1u,
+        "indexes/edge_insertion_order": ins,
+        "indexes/edge_removal_order": rem,
+    }
+    kastore_write(path, items)
+
+
+def read_trees_file(path: str) -> TreeSequenceTables:
+    """Read a binary tskit ``.trees`` into columnar tables."""
+    ks = kastore_read(path)
+    name = bytes(ks["format/name"].view(np.uint8)).decode()
+    if name != "tskit.trees":
+        raise ValueError(f"{path}: not a tskit.trees file ({name!r})")
+
+    def ragged(blob, off):
+        b = bytes(blob.view(np.uint8))
+        o = off.astype(np.int64)
+        return np.array(
+            [b[o[i] : o[i + 1]].decode() for i in range(o.shape[0] - 1)],
+            object,
+        )
+
+    return TreeSequenceTables(
+        node_time=ks["nodes/time"].astype(np.float64),
+        node_is_sample=(ks["nodes/flags"] & 1) != 0,
+        edge_left=ks["edges/left"].astype(np.float64),
+        edge_right=ks["edges/right"].astype(np.float64),
+        edge_parent=ks["edges/parent"].astype(np.int64),
+        edge_child=ks["edges/child"].astype(np.int64),
+        site_pos=ks["sites/position"].astype(np.float64),
+        site_ancestral=ragged(
+            ks["sites/ancestral_state"], ks["sites/ancestral_state_offset"]
+        ),
+        mut_site=ks["mutations/site"].astype(np.int64),
+        mut_node=ks["mutations/node"].astype(np.int64),
+        mut_derived=ragged(
+            ks["mutations/derived_state"], ks["mutations/derived_state_offset"]
+        ),
+        sequence_length=float(ks["sequence_length"][0]),
+    )

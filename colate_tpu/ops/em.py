@@ -79,13 +79,46 @@ def _gdiv(lam, x):
     f32 working precision this path serves)."""
     import jax.numpy as jnp
 
-    small = x < 0.1
+    small = x < 0.5
     xs = jnp.where(small, x, 0.0)
-    g_small = xs * xs * (0.5 - xs / 3.0 + xs * xs / 8.0 - xs * xs * xs / 30.0)
+    # g(x) = sum_{n>=2} (-1)^n x^n (n-1)/n!; through x^8 the truncation
+    # at x=0.5 is ~5e-7 relative — below f32 working precision
+    g_small = xs * xs * (
+        0.5
+        + xs * (-1.0 / 3.0
+                + xs * (0.125
+                        + xs * (-1.0 / 30.0
+                                + xs * (1.0 / 144.0
+                                        + xs * (-1.0 / 840.0
+                                                + xs * (1.0 / 5760.0))))))
+    )
     xb = jnp.where(small, 1.0, x)
     g_big = -jnp.expm1(-xb) - xb * jnp.exp(-xb)
     g = jnp.where(small, g_small, g_big)
     return jnp.where(lam > 0, g / jnp.where(lam > 0, lam, 1.0), 0.0)
+
+
+def _stable_den() -> bool:
+    """Whether the f32 E-step uses the cancellation-free exposure
+    identity (see :func:`_gdiv`).  Default: ONLY on the CPU backend.
+    Measured A/B on the bench fixture (B=128, identified tier = rates
+    >= 1e-4, near-floor tier = rates >= 1e-6, vs the f64 host EM):
+
+    - CPU f32:  old 3.0e-6 / 9.2e-3  ->  stable 2.9e-6 / 2.9e-3
+    - TPU f32:  old 3.5e-6 / 9.1e-3  ->  stable 6.7e-5 / 5.0e-2
+
+    On TPU the rearrangement loses: its transcendental rounding
+    (exp/expm1 at ~1e-6 relative) dominates the term g(x) = 1-(1+x)e^-x
+    for moderate x, where the original difference form happens to
+    cancel those errors.  COLATE_EM_STABLE_DEN=0/1 overrides."""
+    import os
+
+    env = os.environ.get("COLATE_EM_STABLE_DEN")
+    if env is not None:
+        return env != "0"
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def _e_step_all_bins(epochs, rates, t, k):
@@ -143,7 +176,7 @@ def _e_step_all_bins(epochs, rates, t, k):
     # are immune; this is the linear-space equivalent)
     srev = jnp.flip(jnp.cumsum(jnp.flip(num_lin, 1), axis=1), 1)
     integ = (srev - num_lin) * zinv[:, None]
-    if epochs.dtype == jnp.float32:
+    if epochs.dtype == jnp.float32 and _stable_den():
         # cancellation-free exposure (see docstring): full epochs e<k,
         # the partial event epoch e==k, and the open last epoch
         lam_full32 = tab["lam"]
@@ -217,7 +250,7 @@ def _e_step_all_bins(epochs, rates, t, k):
     # denominators, coal_EM.cpp:437-440)
     srev_n = jnp.flip(jnp.cumsum(jnp.flip(raw_n, 1), axis=1), 1)
     integ_n = (srev_n - raw_n) * zrel_inv[:, None]
-    if epochs.dtype == jnp.float32:
+    if epochs.dtype == jnp.float32 and _stable_den():
         # stable exposures: e>k full epochs Srel·g(λΔ)/λ (inv·Srel for
         # the open one), event epoch g(λ(t_{k+1}−t))/λ + (t−t_k)·em1_hi
         D_rel_body = Srel * _gdiv(lam_full[None, :], lam_full[None, :] * dt_full[None, :])

@@ -121,20 +121,6 @@ def _forward_fill(chosen, has, axis):
     return jnp.where(ok, val, 0.0)
 
 
-def _gdiv(lam, x):
-    """g(x)/λ with g(x) = 1 − (1+x)e^{−x}, x = λ·width — the
-    cancellation-free per-epoch exposure T1_e − t_e·P_e = S_e·g/λ
-    (ops/em.py:_gdiv).  Series below 0.1 (truncation ≤ x⁴/72 rel)."""
-    small = x < 0.1
-    xs = jnp.where(small, x, 0.0)
-    g_small = xs * xs * (0.5 - xs / 3.0 + xs * xs / 8.0 - xs * xs * xs / 30.0)
-    xb = jnp.where(small, 1.0, x)
-    g_big = _one_minus_exp_neg(xb) - xb * jnp.exp(-xb)
-    g = jnp.where(small, g_small, g_big)
-    pos = lam > 0
-    return jnp.where(pos, g / jnp.where(pos, lam, 1.0), 0.0)
-
-
 def _epoch_tables_t(lam, epochs_col, dt_col, epochs_next_col, is_last_col):
     """Transposed-layout epoch tables (ops/em.py:_epoch_tables): all
     inputs/outputs [E, Bt] (lam) or [E, 1] (per-epoch constants)."""
@@ -150,10 +136,7 @@ def _epoch_tables_t(lam, epochs_col, dt_col, epochs_next_col, is_last_col):
     T1 = jnp.where(is_last_col > 0, T1_last, T1_body)
     T1 = jnp.where(pos, T1, 0.0)
     em1_full = jnp.where(is_last_col > 0, 1.0, em1)
-    # stable exposures: Dg = g(λΔ)/λ (relative form), Dsh = T1−t_e·P
-    Dg = _gdiv(lam, dH)
-    Dsh = jnp.where(is_last_col > 0, inv_lam * S, S * Dg)
-    return lam, H, S, P, T1, inv_lam, em1_full, Dg, Dsh
+    return lam, H, S, P, T1, inv_lam, em1_full
 
 
 def _make_kernel(E: int, N: int, K: int, C: int):
@@ -192,7 +175,7 @@ def _make_kernel(E: int, N: int, K: int, C: int):
         islast3 = islast_col[None, :, :]
 
         def e_step_chunk(c, tabs):
-            lam, H, S, P, T1, inv_lam, em1_full, Dg, Dsh = tabs
+            lam, H, S, P, T1, inv_lam, em1_full = tabs
             # c is i32 (the chunk fori_loop uses i32 bounds) and C is a
             # weak-typed Python int, so the offset stays i32 under x64;
             # mixed i32*i64 here is rejected by Mosaic
@@ -230,17 +213,21 @@ def _make_kernel(E: int, N: int, K: int, C: int):
             H_t = H_k + dH_lo
             em1_lo = _one_minus_exp_neg(dH_lo)
             Pk_minus = S_k * em1_lo
+            T1k_minus = jnp.where(
+                lam_k_pos,
+                S_k * ((t_c + inv_lam_k) * em1_lo - tmk_c),
+                0.0,
+            )
             num_lin = P[None, :, :] * m_lt + Pk_minus[:, None, :] * m_eq
+            T1v = T1[None, :, :] * m_lt + T1k_minus[:, None, :] * m_eq
             Z_s = _one_minus_exp_neg(H_t)
             guard_s = Z_s > 0
             zinv = jnp.where(guard_s, 1.0 / jnp.where(guard_s, Z_s, 1.0), 0.0)
             zinv3 = zinv[:, None, :]
             post = num_lin * zinv3
+            texp = T1v * zinv3
             integ = (_suffix_sum(num_lin, 1) - num_lin) * zinv3
-            # cancellation-free exposure (Dsh = T1−t_e·P; ops/em.py f32)
-            Dk_minus = S_k * _gdiv(lam_k, dH_lo)
-            Dv = Dsh[None, :, :] * m_lt + Dk_minus[:, None, :] * m_eq
-            den = Dv * zinv3 + dt3 * integ
+            den = texp - ep3 * post + dt3 * integ
             den = jnp.where(m_le > 0, den, 0.0)
             den = jnp.clip(den, 0.0, None)
             g3 = guard_s[:, None, :]
@@ -259,10 +246,27 @@ def _make_kernel(E: int, N: int, K: int, C: int):
                 jnp.where(lam3_pos, Srel, 0.0),
                 Srel * em1_full[None, :, :],
             )
+            T1_rel_body = Srel * (
+                (enext3 + inv_lam[None, :, :]) * em1_full[None, :, :] - dt3
+            )
+            T1_rel_last = (ep3 + inv_lam[None, :, :]) * Srel
+            T1_rel = jnp.where(islast3 > 0, T1_rel_last, T1_rel_body)
+            T1_rel = jnp.where(lam3_pos, T1_rel, 0.0)
+
             Pk_plus = jnp.where(
                 klt_c > 0, em1_hi, jnp.where(lam_k_pos, 1.0, 0.0)
             )
+            T1k_plus = jnp.where(
+                klt_c > 0,
+                jnp.where(
+                    lam_k_pos,
+                    (tk1_c + inv_lam_k) * em1_hi - (tk1_c - t_c),
+                    0.0,
+                ),
+                jnp.where(lam_k_pos, t_c + inv_lam_k, 0.0),
+            )
             raw_n = Pk_plus[:, None, :] * m_eq + P_rel * m_gt
+            raw_t = T1k_plus[:, None, :] * m_eq + T1_rel * m_gt
             zrel = jnp.sum(raw_n, axis=1)
             guard_n = zrel > 0
             zrel_inv = jnp.where(
@@ -270,19 +274,9 @@ def _make_kernel(E: int, N: int, K: int, C: int):
             )
             zi3 = zrel_inv[:, None, :]
             post_n = raw_n * zi3
+            texp_n = raw_t * zi3
             integ_n = (_suffix_sum(raw_n, 1) - raw_n) * zi3
-            # stable exposures: e>k relative Srel·Dg (inv_lam·Srel open),
-            # event epoch g(λ(t_{k+1}−t))/λ + (t−t_k)·em1_hi
-            D_rel = jnp.where(
-                islast3 > 0, inv_lam[None, :, :] * Srel, Dg[None, :, :] * Srel
-            )
-            Dk_plus = jnp.where(
-                klt_c > 0,
-                _gdiv(lam_k, dH_hi) + tmk_c * em1_hi,
-                jnp.where(lam_k_pos, tmk_c + inv_lam_k, 0.0),
-            )
-            Dv_n = Dk_plus[:, None, :] * m_eq + D_rel * m_gt
-            den_n = Dv_n * zi3 + dt3 * integ_n
+            den_n = texp_n - ep3 * post_n + dt3 * integ_n
             den_n = jnp.clip(den_n, 0.0, None)
             gn3 = guard_n[:, None, :]
             num_n = jnp.where(gn3, post_n, 0.0)
