@@ -23,6 +23,8 @@ _tried = False
 
 
 _SOURCES = ("io.cpp", "em.cpp", "hts.cpp", "cond.cpp", "la.cpp")
+# headers compiled into the TUs above (staleness check only)
+_HEADERS = ("cram.hpp",)
 
 
 def _build() -> bool:
@@ -51,7 +53,10 @@ def load():
     if so == _SO and (
         not os.path.exists(_SO)
         or os.path.getmtime(_SO)
-        < max(os.path.getmtime(os.path.join(_HERE, s)) for s in _SOURCES)
+        < max(
+            os.path.getmtime(os.path.join(_HERE, s))
+            for s in _SOURCES + _HEADERS
+        )
     ):
         if not _build():
             if os.environ.get("COLATE_NATIVE_REQUIRED"):
