@@ -152,9 +152,12 @@ def bench_la(fix: dict) -> dict:
         coal = None
         output = out
 
-    t0 = time.time()
-    run_local_ancestry(Args())
-    ours_s = time.time() - t0
+    ours_s = None
+    for _ in range(2):
+        t0 = time.time()
+        run_local_ancestry(Args())
+        dt = time.time() - t0
+        ours_s = dt if ours_s is None else min(ours_s, dt)
 
     # value parity: rates per group pair within rtol (float text roundtrip)
     max_rel = 0.0
