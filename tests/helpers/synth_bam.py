@@ -43,7 +43,8 @@ def _bgzf_compress(data: bytes) -> bytes:
 
 
 def write_bam(path: str, contigs: dict[str, int], records) -> None:
-    """records: iterable of (flag, ref_idx, pos0, mapq, seq, qual_array)."""
+    """records: iterable of (flag, ref_idx, pos0, mapq, seq, qual_array)
+    or (..., aux_bytes) with BAM-format auxiliary data appended."""
     names = list(contigs)
     text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{n}\tLN:{contigs[n]}\n" for n in names
@@ -57,10 +58,13 @@ def write_bam(path: str, contigs: dict[str, int], records) -> None:
         payload += struct.pack("<i", len(n) + 1)
         payload += n.encode() + b"\x00"
         payload += struct.pack("<i", contigs[n])
-    for ri, (flag, ref_idx, pos0, mapq, seq, qual) in enumerate(records):
+    for ri, rec in enumerate(records):
+        (flag, ref_idx, pos0, mapq, seq, qual) = rec[:6]
+        aux = rec[6] if len(rec) > 6 else b""
         name = f"r{ri}".encode() + b"\x00"
         l_seq = len(seq)
-        cigar = struct.pack("<I", (l_seq << 4) | 0)  # "<len>M"
+        n_cigar = 0 if (flag & 4) else 1
+        cigar = b"" if (flag & 4) else struct.pack("<I", (l_seq << 4) | 0)
         packed = bytearray((l_seq + 1) // 2)
         for i, c in enumerate(seq):
             code = _NT16_CODE.get(c.upper(), 15)
@@ -71,13 +75,14 @@ def write_bam(path: str, contigs: dict[str, int], records) -> None:
         body = (
             struct.pack(
                 "<iiBBHHHiiii",
-                ref_idx, pos0, len(name), mapq, 0, 1, flag,
+                ref_idx, pos0, len(name), mapq, 0, n_cigar, flag,
                 l_seq, -1, -1, 0,
             )
             + name
             + cigar
             + bytes(packed)
             + bytes(np.asarray(qual, np.uint8).tobytes())
+            + aux
         )
         payload += struct.pack("<i", len(body)) + body
     with open(path, "wb") as fh:
