@@ -386,7 +386,8 @@ def bench_binning(details: dict) -> None:
         import jax
 
         from colate_tpu.ops.bin_pallas import (
-            _make_fn, _pack, _pad_pow2, bin_sites_pallas,
+            _make_fn, _nb_cap, _pad_pow2, bin_sites_pallas, pack_packed,
+            segments,
         )
 
         h_pal = bin_sites_pallas(sites)
@@ -402,10 +403,11 @@ def bench_binning(details: dict) -> None:
                 for a, b in zip(h_pal, h_host)
             )
             # device-resident: one 4.2M-site slab preloaded on device
-            ns = 1 << 22
+            seg = segments(sites.block_id)
+            ns = min(1 << 22, int(seg[2][-1]))
             n_pad = _pad_pow2(ns)
-            fv = _pack(sites, 0.0, 0, ns, n_pad, 185)
-            fn = _make_fn(n_pad, 0.0, False)
+            fv = pack_packed(sites, 0.0, 185, seg, 0, ns, n_pad)
+            fn = _make_fn(n_pad, 0.0, False, _nb_cap(sites.num_blocks))
             fvd = jax.device_put(fv)
             np.asarray(fn(fvd))
             t0 = time.time()

@@ -81,6 +81,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="mode mut: shard bootstrap-EM over the first N "
                         "local devices (parallel/mesh.py); default = "
                         "single-device")
+    p.add_argument("--binning",
+                   choices=["auto", "native", "device", "sharded"],
+                   default="auto",
+                   help="mode mut analytic-binning backend: auto (native "
+                        "C++ f64 host binner, device fallback), native "
+                        "(require it), device (f32 XLA slab), sharded "
+                        "(mesh path — bitwise invariant to block-aligned "
+                        "mesh size)")
     p.add_argument("--coordinator",
                    help="multi-process mode mut: jax.distributed "
                         "coordinator address host:port (launch one process "
@@ -164,6 +172,7 @@ def _dispatch(argv: list[str] | None = None) -> int:
             checkpoint=args.checkpoint,
             per_chr_bam=args.per_chr_bam,
             devices=args.devices,
+            binning=args.binning,
         )
         if (
             args.coordinator is not None

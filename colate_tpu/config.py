@@ -137,3 +137,9 @@ class MutRunConfig:
     # shard the bootstrap-EM (and, when large enough, binning) over the
     # first N local devices via parallel/mesh.py; None/1 = single-device
     devices: int | None = None
+    # analytic-binning backend: "auto" = native C++ f64 host binner with
+    # device fallback; "native" = require it; "device" = the f32 XLA
+    # slab path; "sharded" = the mesh path (parallel/mesh.py) on
+    # max(devices,1) devices — bitwise-identical for any block-aligned
+    # mesh size, which the driver's multichip dryrun asserts
+    binning: str = "auto"  # "auto" | "native" | "device" | "sharded"

@@ -214,7 +214,7 @@ def compute_suffstats(
         rmasks = [read_mask(f) for f in rmask_files] if rmask_files else None
         pf = (
             mut_prefilter_native(mut_files, tmasks, rmasks, age)
-            if (not parity and dedup)
+            if (not parity and dedup and cfg.binning == "auto")
             else None
         )
         if pf is not None:
@@ -266,7 +266,27 @@ def compute_suffstats(
                 sites, rng, age=0.0
             )
         else:
-            hists = bin_sites_analytic_native(sites, age=0.0)
+            hists = None
+            if cfg.binning == "sharded":
+                # the mesh path on max(devices,1) devices — per-block
+                # results are bitwise invariant to the (block-aligned)
+                # mesh size, so a 1-device run here is the byte oracle
+                # for any multi-device run of the same inputs
+                from colate_tpu.parallel.mesh import make_mesh, sharded_bin_sites
+
+                mesh = make_mesh(cfg.devices if cfg.devices else 1)
+                hists = sharded_bin_sites(
+                    mesh, sites.age_begin, sites.age_end, sites.w_shared,
+                    sites.w_notshared, sites.block_id, sites.num_blocks,
+                    age=0.0,
+                )
+            elif cfg.binning in ("auto", "native"):
+                hists = bin_sites_analytic_native(sites, age=0.0)
+                if hists is None and cfg.binning == "native":
+                    raise RuntimeError(
+                        "binning='native' requested but the native library "
+                        "is unavailable"
+                    )
             if hists is None:
                 hists = bin_sites_analytic(sites, age=0.0)
             sh_b, ns_b, se_b, ne_b = hists
@@ -437,11 +457,12 @@ def finish_from_suffstats(
     out = None
     from colate_tpu.config import EM_HOST_MAX_B
 
-    if cfg.devices and cfg.devices > 1 and not parity:
-        # explicit mesh run (--devices N): bootstrap replicates are
-        # independent EM fixed-points, sharded over the first N local
-        # devices (parallel/mesh.py); pallas f32 kernel on TPU meshes,
-        # f64 XLA per-shard elsewhere
+    if cfg.devices and cfg.devices >= 1 and not parity:
+        # explicit mesh run (--devices N, N=1 included): bootstrap
+        # replicates are independent EM fixed-points, sharded over the
+        # first N local devices (parallel/mesh.py); pallas f32 kernel on
+        # TPU meshes, replicate-sequential f64 XLA elsewhere — bitwise
+        # identical for any N (the multichip dryrun asserts this)
         from colate_tpu.parallel.mesh import make_mesh, sharded_run_em
 
         mesh = make_mesh(cfg.devices)

@@ -15,6 +15,17 @@ gigabytes of traffic per slab — and its [n, 8]-style gathers issue
 degenerate row-at-a-time DMAs.  Feature-major rows stream as dense
 lane-tiles instead.
 
+Block capacity: the resident accumulator is sized from a ladder
+(128..1024 rows, ≤4 MB of the ~16 MB VMEM), so whole-genome block
+counts (~125 thirty-Mb blocks for a human genome; the reference
+pre-allocates 500, coal.cpp:3139-3153) run the fused kernel.  Packing
+is *block-aligned*: chunk boundaries restart at every block-id change
+(pad lanes carry zero weight), so a chunk always touches exactly one
+block — the 16-slot accumulator window is always sufficient, block ids
+need not be sorted, and a block's partial sums are bitwise invariant to
+any block-aligned sharding of the site stream (parallel/mesh.py relies
+on this for the byte-identical mesh dry run).
+
 The f64-exact pieces (emp flag, ``bin_of_age`` index) are precomputed on
 host exactly like the XLA path; outputs match it to f32 tolerance
 (tests/test_bin_pallas.py) and the f64 native oracle within the
@@ -32,10 +43,24 @@ from colate_tpu.config import NUM_AGE_BINS, age_bin_edges
 _C = 512          # sites per grid step (lane axis)
 _ROWS = 8         # feature rows (5 used, padded to the sublane tile)
 _BINS_SUB = 256   # bins padded on sublanes (185 -> 256)
-_NB_MAX = 128     # static block capacity of the resident accumulator
-# aux row packing: aux = blk * 1024 + emp * 512 + bin2   (exact in f32)
-_AUX_BLK = 1024
-_AUX_EMP = 512
+_NB_CAPS = (128, 256, 512, 1024)  # accumulator row ladder (f32: 0.5-4 MB)
+# aux row packing: aux = blk * 2048 + emp * 1024 + bin2   (exact in f32:
+# max aux ~ 1008*2048 + 1024 + 184 < 2^21 << 2^24)
+_AUX_BLK = 2048
+_AUX_EMP = 1024
+
+
+def _nb_cap(nb: int) -> int | None:
+    """Smallest ladder capacity whose 16-slot write window fits nb
+    blocks, or None when nb exceeds the ladder (XLA path territory)."""
+    for cap in _NB_CAPS:
+        if nb + 16 <= cap:
+            return cap
+    return None
+
+
+def supports(nb: int) -> bool:
+    return _nb_cap(nb) is not None
 
 
 def _pad_pow2(n: int, lo: int = 1 << 15) -> int:
@@ -46,7 +71,7 @@ def _pad_pow2(n: int, lo: int = 1 << 15) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _make_fn(n_pad: int, age: float, interpret: bool):
+def _make_fn(n_pad: int, age: float, interpret: bool, cap: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -126,9 +151,9 @@ def _make_fn(n_pad: int, age: float, interpret: bool):
             axis=0,
         )  # [4*BINS_SUB, C]
 
-        # local 16-slot window: blocks are nondecreasing, so one chunk
-        # spans < 8 distinct blocks; anchor at the 8-aligned block below
-        # the chunk's first id (sublane stores need 8-aligned offsets)
+        # block-aligned packing => one block id per chunk; anchor the
+        # 16-slot window at the 8-aligned row below it (sublane stores
+        # need 8-aligned offsets)
         first = pl.multiple_of((blk[0, 0] // 8) * 8, 8)
         subb = jax.lax.broadcasted_iota(jnp.int32, (16, C), 0)
         ohb = (subb == (blk - first)).astype(f32)  # [16, C]
@@ -150,8 +175,8 @@ def _make_fn(n_pad: int, age: float, interpret: bool):
             pl.BlockSpec((_BINS_SUB, 1), lambda i: (0, 0)),
             pl.BlockSpec((_BINS_SUB, 1), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((_NB_MAX, 4 * _BINS_SUB), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((_NB_MAX, 4 * _BINS_SUB), jnp.float32),
+        out_specs=pl.BlockSpec((cap, 4 * _BINS_SUB), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((cap, 4 * _BINS_SUB), jnp.float32),
         interpret=interpret,
     )
     elo_j = jnp.asarray(elo_np)
@@ -159,19 +184,40 @@ def _make_fn(n_pad: int, age: float, interpret: bool):
     return jax.jit(lambda fv: fn(fv, elo_j, ehi_j))
 
 
-def _pack(sites, age: float, lo: int, hi: int, n_pad: int, nbins: int):
-    """[ROWS, n_pad] f32 feature slab for sites[lo:hi] (blocks
-    rebased by the caller's offset are NOT applied here — ids must
-    already fit _NB_MAX)."""
-    n = hi - lo
+def segments(block_id) -> tuple:
+    """Block-aligned packing plan over a site stream.
+
+    Splits the stream into contiguous same-block runs and pads each run
+    to a multiple of the chunk width, so every kernel chunk touches
+    exactly one block.  Returns ``(starts, ends, poff, blkseg)``: run
+    boundaries in site coordinates, the packed offset of each run
+    (``poff[-1]`` = total packed length, a multiple of _C), and each
+    run's block id.
+    """
+    blk = np.asarray(block_id, np.int64)
+    n = blk.size
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(1, np.int64), z
+    cut = np.flatnonzero(np.diff(blk)) + 1
+    starts = np.concatenate([[0], cut]).astype(np.int64)
+    ends = np.concatenate([cut, [n]]).astype(np.int64)
+    plens = -(-(ends - starts) // _C) * _C
+    poff = np.zeros(starts.size + 1, np.int64)
+    np.cumsum(plens, out=poff[1:])
+    return starts, ends, poff, blk[starts]
+
+
+def _fill_cols(fv, d0: int, sites, lo: int, hi: int, age: float, nbins: int):
+    """Write sites[lo:hi] into feature columns fv[:, d0:d0+(hi-lo)]."""
+    d1 = d0 + (hi - lo)
     ab64 = np.asarray(sites.age_begin[lo:hi], np.float64)
     ae64 = np.asarray(sites.age_end[lo:hi], np.float64)
     blk = np.asarray(sites.block_id[lo:hi], np.int64)
-    fv = np.zeros((_ROWS, n_pad), np.float32)
-    fv[0, :n] = ab64
-    fv[1, :n] = ae64
-    fv[2, :n] = sites.w_shared[lo:hi]
-    fv[3, :n] = sites.w_notshared[lo:hi]
+    fv[0, d0:d1] = ab64
+    fv[1, d0:d1] = ae64
+    fv[2, d0:d1] = sites.w_shared[lo:hi]
+    fv[3, d0:d1] = sites.w_notshared[lo:hi]
     emp = ab64 <= age  # f64-exact emp flag
     aux = blk * _AUX_BLK + np.where(emp, _AUX_EMP, 0)
     if emp.any():
@@ -181,13 +227,38 @@ def _pack(sites, age: float, lo: int, hi: int, n_pad: int, nbins: int):
             b2 = np.floor(np.log(np.maximum(10.0 * ae_e, 1e-300)) * 10.0 + 0.5) + 1
         b2 = np.clip(np.where(ae_e > 0, b2, 0), 0, nbins - 1).astype(np.int64)
         aux[emp] += b2
-    fv[4, :n] = aux
-    if n_pad > n:
-        # zero weights leave every histogram untouched; pads keep the
-        # last real block id (any in-range id works)
-        fv[0, n:] = 1.0
-        fv[1, n:] = 2.0
-        fv[4, n:] = float((blk[-1] if n else 0) * _AUX_BLK)
+    fv[4, d0:d1] = aux
+
+
+def pack_packed(sites, age: float, nbins: int, seg, plo: int, phi: int,
+                n_pad: int) -> np.ndarray:
+    """[ROWS, n_pad] f32 feature slab covering packed range [plo, phi)
+    of the block-aligned plan ``seg`` (from :func:`segments`).  plo/phi
+    must be multiples of _C.  Pad lanes carry zero weight and their
+    run's block id (any in-window id is harmless — they contribute
+    exact +0.0)."""
+    starts, ends, poff, blkseg = seg
+    fv = np.zeros((_ROWS, n_pad), np.float32)
+    fv[0, :] = 1.0
+    fv[1, :] = 2.0
+    if starts.size == 0 or phi <= plo:
+        return fv
+    s0 = max(int(np.searchsorted(poff, plo, "right")) - 1, 0)
+    for s in range(s0, starts.size):
+        seg_plo = int(poff[s])
+        if seg_plo >= phi:
+            break
+        real_len = int(ends[s] - starts[s])
+        r_lo = max(plo, seg_plo)
+        r_hi = min(phi, seg_plo + real_len)
+        if r_hi > r_lo:
+            src_lo = int(starts[s]) + (r_lo - seg_plo)
+            _fill_cols(fv, r_lo - plo, sites, src_lo, src_lo + (r_hi - r_lo),
+                       age, nbins)
+        p_lo = max(plo, seg_plo + real_len)
+        p_hi = min(phi, int(poff[s + 1]))
+        if p_hi > p_lo:
+            fv[4, p_lo - plo : p_hi - plo] = float(blkseg[s] * _AUX_BLK)
     return fv
 
 
@@ -195,8 +266,8 @@ def bin_sites_pallas(sites, age: float = 0.0, interpret: bool | None = None):
     """Fused-kernel analytic binning; returns the four [num_blocks,
     nbins] f64 histograms, or None when the kernel does not apply
     (non-TPU backend without interpret, or more blocks than the
-    resident accumulator holds).  Sites stream in slabs so host packing
-    and the device pipeline overlap."""
+    capacity ladder).  Sites stream in slabs so host packing and the
+    device pipeline overlap."""
     import jax
 
     if interpret is None:
@@ -204,32 +275,33 @@ def bin_sites_pallas(sites, age: float = 0.0, interpret: bool | None = None):
     if jax.default_backend() not in ("tpu", "axon") and not interpret:
         return None
     nb = sites.num_blocks
-    if nb + 16 > _NB_MAX:
-        return None  # accumulator capacity; XLA slab path handles it
+    cap = _nb_cap(nb)
+    if cap is None:
+        return None  # ladder exceeded; XLA slab path handles it
     n = len(sites)
     nbins = NUM_AGE_BINS
-    blk_all = np.asarray(sites.block_id, np.int64)
-    if n:
-        if np.any(blk_all[1:] < blk_all[:-1]):
-            return None  # genome order violated: XLA path handles it
-        starts = np.arange(0, n, _C)
-        ends = np.minimum(starts + _C - 1, n - 1)
-        if np.any(blk_all[ends] - blk_all[starts] >= 8):
-            return None  # a chunk spans more blocks than the window
+    if n == 0:
+        z = np.zeros((nb, nbins), np.float64)
+        return z, z.copy(), z.copy(), z.copy()
+    seg = segments(sites.block_id)
+    n_packed = int(seg[2][-1])
 
     slab = 1 << 22  # 4.2M sites (~84 MB packed) per async round-trip
     pending = []
     acc = np.zeros((max(nb, 1), 4 * _BINS_SUB), np.float64)
-    for lo in range(0, max(n, 1), slab):
-        hi = min(lo + slab, n)
-        n_pad = _pad_pow2(max(hi - lo, 1))
-        fv = _pack(sites, age, lo, hi, n_pad, nbins)
-        fn = _make_fn(n_pad, float(age), bool(interpret))
-        pending.append(fn(fv))
-        if len(pending) > 2:
-            acc += np.asarray(pending.pop(0), np.float64)[: max(nb, 1)]
-    for out in pending:
-        acc += np.asarray(out, np.float64)[: max(nb, 1)]
+    try:
+        for plo in range(0, n_packed, slab):
+            phi = min(plo + slab, n_packed)
+            n_pad = _pad_pow2(phi - plo)
+            fv = pack_packed(sites, age, nbins, seg, plo, phi, n_pad)
+            fn = _make_fn(n_pad, float(age), bool(interpret), cap)
+            pending.append(fn(fv))
+            if len(pending) > 2:
+                acc += np.asarray(pending.pop(0), np.float64)[: max(nb, 1)]
+        for out in pending:
+            acc += np.asarray(out, np.float64)[: max(nb, 1)]
+    except Exception:  # Mosaic/platform gaps -> XLA path
+        return None
     res = []
     for j in range(4):
         res.append(acc[:nb, j * _BINS_SUB : j * _BINS_SUB + nbins])

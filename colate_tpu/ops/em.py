@@ -625,6 +625,43 @@ def run_em(
     return rates.astype(epochs.dtype), ll, iters
 
 
+def run_em_sequential(
+    epochs,
+    init_rates,
+    shared_counts,
+    notshared_counts,
+    max_iter: int = EM_MAX_ITER,
+    min_iter: int = EM_MIN_ITER,
+    dtype: str | None = None,
+):
+    """Replicate-sequential EM: ``lax.map`` of a B=1 :func:`run_em`.
+
+    The batched path's einsum blocking makes per-replicate rounding
+    depend on the local batch shape (a ~1 ulp effect), which breaks
+    bitwise parity between a mesh-sharded run and a single-device run.
+    Here every replicate executes the identical B=1 trace regardless of
+    how many replicates share its device, so ANY bootstrap sharding is
+    bitwise transparent — the property parallel/mesh.py:sharded_run_em
+    (backend="xla") and the driver's multichip dryrun rely on.  Tiny
+    [185, E] tensors make the lost batch parallelism irrelevant off the
+    hot path (large-B TPU runs use the fused Pallas kernel instead).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def one(args):
+        s, n = args
+        r, ll, it = run_em(
+            epochs, init_rates, s[None, :], n[None, :],
+            max_iter=max_iter, min_iter=min_iter, dtype=dtype,
+        )
+        return r[0], ll[0], it[0]
+
+    return jax.lax.map(
+        one, (jnp.asarray(shared_counts), jnp.asarray(notshared_counts))
+    )
+
+
 def run_em_checkpointed(
     epochs,
     init_rates,

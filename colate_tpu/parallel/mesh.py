@@ -30,13 +30,24 @@ def make_mesh(n_devices: int | None = None):
     """1-D mesh over the default backend's devices; when it has too few
     (e.g. the single tunnelled TPU chip) fall back to the virtual
     multi-device CPU platform (``--xla_force_host_platform_device_count``)
-    so sharded programs always compile+execute with real collectives."""
+    so sharded programs always compile+execute with real collectives.
+
+    COLATE_MESH_BACKEND pins the device pool to one backend (the
+    multichip dryrun sets "cpu" so every mesh size draws from the SAME
+    pool — mixing the tunnelled TPU chip for N=1 with CPU devices for
+    N=8 would compare different backends' f64 rounding)."""
+    import os
+
     import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
-    if n_devices is not None and len(devs) < n_devices:
-        devs = jax.local_devices(backend="cpu")
+    backend = os.environ.get("COLATE_MESH_BACKEND")
+    if backend:
+        devs = jax.local_devices(backend=backend)
+    else:
+        devs = jax.devices()
+        if n_devices is not None and len(devs) < n_devices:
+            devs = jax.local_devices(backend="cpu")
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("d",))
@@ -49,6 +60,31 @@ def _pad_to(x: np.ndarray, n: int, fill=0):
     return np.concatenate([x, pad])
 
 
+def _block_aligned_site_bounds(blk: np.ndarray, nd: int) -> np.ndarray:
+    """[nd+1] site-index device boundaries that only cut at block-id
+    changes, balancing site counts.  With nondecreasing ids this puts
+    every block wholly on one device, so the per-device histogram
+    partials are disjoint and the psum merge is exact (+0 elsewhere) —
+    the same argument the multihost chromosome partition makes
+    (parallel/multihost.py)."""
+    n = blk.size
+    bounds = np.zeros(nd + 1, np.int64)
+    bounds[nd] = n
+    if n == 0:
+        return bounds
+    cut = np.flatnonzero(np.diff(blk)) + 1
+    allowed = np.concatenate([[0], cut, [n]]).astype(np.int64)
+    for d in range(1, nd):
+        target = (n * d) // nd
+        i = int(np.searchsorted(allowed, target, "left"))
+        if i >= allowed.size:
+            i = allowed.size - 1
+        elif i > 0 and target - allowed[i - 1] <= allowed[i] - target:
+            i -= 1
+        bounds[d] = allowed[i]
+    return np.maximum.accumulate(bounds)
+
+
 def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
                       num_blocks: int, age: float = 0.0,
                       backend: str = "auto"):
@@ -57,29 +93,32 @@ def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
     Inputs are host numpy arrays; returns the four [num_blocks, 185]
     float64 histograms (replicated).
 
+    Sites are sharded on BLOCK boundaries (``_block_aligned_site_bounds``)
+    so each block's histogram is computed entirely on one device and the
+    psum adds exact zeros from the others — the meshed result is bitwise
+    identical to a 1-device run of the same path, which is what the
+    driver's ``dryrun_multichip`` asserts.
+
     backend="pallas" runs the fused TPU kernel (ops/bin_pallas.py) on
     each device's local shard — the [bins, C] overlap matrices and the
     block contraction stay in VMEM, and only the [blocks, 4*bins]
     partials cross the mesh in the final psum.  "xla" keeps the
     segment-sum path; "auto" picks pallas on TPU meshes when the block
-    count fits the resident accumulator.
+    count fits the accumulator ladder.
     """
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax import shard_map
 
     nd = mesh.devices.size
     n = age_begin.shape[0]
+    nbins = NUM_AGE_BINS
 
     if backend == "auto":
         on_cpu = all(d.platform == "cpu" for d in mesh.devices.ravel())
         from colate_tpu.ops import bin_pallas as _bp
 
         backend = (
-            "pallas"
-            if (not on_cpu and num_blocks + 16 <= _bp._NB_MAX)
-            else "xla"
+            "pallas" if (not on_cpu and _bp.supports(num_blocks)) else "xla"
         )
     if backend == "pallas":
         out = _sharded_bin_pallas(
@@ -90,13 +129,26 @@ def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
             return out
         # fall through to the XLA path on any inapplicability
 
-    n_pad = ((n + nd - 1) // nd) * nd if n else nd
-    # padding sites carry zero weight -> no effect on histograms
-    ab = _pad_to(np.asarray(age_begin, np.float64), n_pad)
-    ae = _pad_to(np.asarray(age_end, np.float64), n_pad, fill=1.0)
-    ws = _pad_to(np.asarray(w_shared, np.float64), n_pad)
-    wn = _pad_to(np.asarray(w_notshared, np.float64), n_pad)
-    blk = _pad_to(np.asarray(block_id, np.int32), n_pad)
+    blk64 = np.asarray(block_id, np.int64)
+    bounds = _block_aligned_site_bounds(blk64, nd)
+    m = max(int(np.max(bounds[1:] - bounds[:-1])), 1)
+    ab = np.full((nd, m), 1.0, np.float64)
+    ae = np.full((nd, m), 2.0, np.float64)
+    ws = np.zeros((nd, m), np.float64)
+    wn = np.zeros((nd, m), np.float64)
+    blk = np.zeros((nd, m), np.int32)
+    for d in range(nd):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        c = hi - lo
+        if c:
+            ab[d, :c] = np.asarray(age_begin[lo:hi], np.float64)
+            ae[d, :c] = np.asarray(age_end[lo:hi], np.float64)
+            ws[d, :c] = np.asarray(w_shared[lo:hi], np.float64)
+            wn[d, :c] = np.asarray(w_notshared[lo:hi], np.float64)
+            blk[d, :c] = blk64[lo:hi]
+            # zero-weight pads reuse the device's last real block id:
+            # they contribute exact +0.0 to that block's sums
+            blk[d, c:] = blk64[hi - 1]
 
     fn = _sharded_bin_fn(mesh, num_blocks, float(age))
     sh = NamedSharding(mesh, P("d"))
@@ -109,14 +161,16 @@ def _sharded_bin_pallas(mesh, age_begin, age_end, w_shared, w_notshared,
                         block_id, num_blocks: int, age: float):
     """Fused-kernel binning per shard + one psum (see sharded_bin_sites).
 
-    Every device runs the Pallas kernel over its local feature slab
-    (grid over chunks, [blocks, 4*bins] accumulator resident in VMEM);
-    the cross-device merge is one psum of those partials.  Returns None
-    when the kernel's preconditions fail (block span per chunk, id
-    order) — the caller's XLA path covers those.
+    Every device runs the Pallas kernel over its local block-aligned
+    feature slab (grid over chunks, [blocks, 4*bins] accumulator
+    resident in VMEM); the cross-device merge is one psum of those
+    partials.  Because packing restarts chunks at block boundaries
+    (ops/bin_pallas.py:segments), a device's per-block partial sums are
+    bitwise identical to the 1-device run's, and the psum adds exact
+    zeros — meshed == single, bit for bit.  Returns None when the block
+    count exceeds the accumulator ladder or the kernel fails to build.
     """
     import jax
-    import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -125,56 +179,66 @@ def _sharded_bin_pallas(mesh, age_begin, age_end, w_shared, w_notshared,
 
     nd = mesh.devices.size
     n = age_begin.shape[0]
-    blk_all = np.asarray(block_id, np.int64)
-    if n and np.any(blk_all[1:] < blk_all[:-1]):
+    nbins = NUM_AGE_BINS
+    cap = bp._nb_cap(num_blocks)
+    if cap is None:
         return None
-    # per-shard slabs must satisfy the per-chunk block-span bound; the
-    # shard boundaries only make chunks start earlier, never wider
-    if n:
-        starts = np.arange(0, n, bp._C)
-        ends = np.minimum(starts + bp._C - 1, n - 1)
-        if np.any(blk_all[ends] - blk_all[starts] >= 8):
-            return None
+    if n == 0:
+        z = np.zeros((num_blocks, nbins), np.float64)
+        return z, z.copy(), z.copy(), z.copy()
 
-    # pack per-shard feature slabs with the shared host packer
-    per = -(-max(n, 1) // nd)
-    n_pad = bp._pad_pow2(per)
     sites = type(
         "S", (), dict(
             age_begin=np.asarray(age_begin, np.float64),
             age_end=np.asarray(age_end, np.float64),
             w_shared=np.asarray(w_shared, np.float64),
             w_notshared=np.asarray(w_notshared, np.float64),
-            block_id=blk_all,
+            block_id=np.asarray(block_id, np.int64),
         ),
     )()
+    seg = bp.segments(sites.block_id)
+    poff = seg[2]
+    total = int(poff[-1])
+    # device boundaries in packed coordinates, cut at run boundaries
+    # (balancing packed length); every block stays whole on one device
+    dev_off = np.zeros(nd + 1, np.int64)
+    dev_off[nd] = total
+    for d in range(1, nd):
+        target = (total * d) // nd
+        i = int(np.searchsorted(poff, target, "left"))
+        if i >= poff.size:
+            i = poff.size - 1
+        elif i > 0 and target - poff[i - 1] <= poff[i] - target:
+            i -= 1
+        dev_off[d] = poff[i]
+    dev_off = np.maximum.accumulate(dev_off)
+    m = max(int(np.max(dev_off[1:] - dev_off[:-1])), 1)
+    n_pad = bp._pad_pow2(m)
     slabs = np.zeros((nd, bp._ROWS, n_pad), np.float32)
     for d in range(nd):
-        lo = min(d * per, n)
-        hi = min(lo + per, n)
-        if hi > lo:
-            slabs[d] = bp._pack(sites, age, lo, hi, n_pad, NUM_AGE_BINS)
-        else:
-            slabs[d, 0] = 1.0
-            slabs[d, 1] = 2.0
+        slabs[d] = bp.pack_packed(
+            sites, age, nbins, seg, int(dev_off[d]), int(dev_off[d + 1]), n_pad
+        )
 
     on_cpu = all(dv.platform == "cpu" for dv in mesh.devices.ravel())
-    kern = bp._make_fn(n_pad, float(age), bool(on_cpu))
+    try:
+        kern = bp._make_fn(n_pad, float(age), bool(on_cpu), cap)
 
-    def local(fv):
-        acc = kern(fv[0])
-        return jax.lax.psum(acc, "d")
+        def local(fv):
+            acc = kern(fv[0])
+            return jax.lax.psum(acc, "d")
 
-    mapped = jax.jit(
-        shard_map(
-            local, mesh=mesh, in_specs=(P("d"),), out_specs=P(),
-            check_vma=False,
+        mapped = jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=(P("d"),), out_specs=P(),
+                check_vma=False,
+            )
         )
-    )
-    sh = NamedSharding(mesh, P("d"))
-    acc = np.asarray(mapped(jax.device_put(slabs, sh)), np.float64)
+        sh = NamedSharding(mesh, P("d"))
+        acc = np.asarray(mapped(jax.device_put(slabs, sh)), np.float64)
+    except Exception:  # Mosaic/platform gaps -> caller's XLA path
+        return None
     nb = max(num_blocks, 1)
-    nbins = NUM_AGE_BINS
     return tuple(
         acc[:nb, j * bp._BINS_SUB : j * bp._BINS_SUB + nbins][:num_blocks]
         for j in range(4)
@@ -194,6 +258,8 @@ def _sharded_bin_fn(mesh, num_blocks: int, age: float):
     nbins = NUM_AGE_BINS
 
     def local_bin(ab, ae, ws, wn, blk):
+        # [1, m] local slab rows (block-aligned device ranges)
+        ab, ae, ws, wn, blk = ab[0], ae[0], ws[0], wn[0], blk[0]
         edges = jnp.asarray(edges_np)
         is_emp = ab <= age
         a_reg = jnp.maximum(ab, age)
@@ -256,8 +322,9 @@ def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
     multiple of the mesh size (padded replicates see the replicate-0
     counts and are discarded).  Returns (rates [B,E], logl [B], iters [B]).
 
-    backend="xla" runs ops/em.py:run_em per shard (f64 reference
-    numerics).  backend="pallas" runs the fused f32 TPU kernel
+    backend="xla" runs ops/em.py:run_em_sequential per shard (f64
+    reference numerics, replicate-sequential so results are bitwise
+    identical for ANY mesh size).  backend="pallas" runs the fused f32 TPU kernel
     (ops/em_pallas.py) on each device's local bootstrap shard — the
     kernel's 128-lane grid simply becomes per-device, so an N-chip mesh
     runs N kernels concurrently with no cross-device traffic until the
@@ -269,7 +336,7 @@ def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
     from jax import shard_map
 
     from colate_tpu.config import EM_MAX_ITER, EM_MIN_ITER
-    from colate_tpu.ops.em import run_em
+    from colate_tpu.ops.em import run_em_sequential
 
     nd = mesh.devices.size
     B = shared_counts.shape[0]
@@ -331,7 +398,9 @@ def sharded_run_em(mesh, epochs, init_rates, shared_counts, notshared_counts,
         nc[B:] = nc[0]
 
     def local_em(ep, ir, s, n):
-        return run_em(ep, ir, s, n, max_iter=mi)
+        # replicate-sequential so the per-replicate rounding is bitwise
+        # independent of the local shard size (meshed == single)
+        return run_em_sequential(ep, ir, s, n, max_iter=mi)
 
     mapped = shard_map(
         local_em,
