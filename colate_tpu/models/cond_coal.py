@@ -343,6 +343,63 @@ def _cond_chrom_native(
     return True
 
 
+def _cond_chrom_fast_native(
+    anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal, cond,
+    cond_empty, goh, G, epochs, epochs_focal, blocks_num, blocks_denom,
+) -> bool:
+    """Analytic f64 CondCoalRates kernel (native/cond.cpp:
+    cn_cond_chrom_fast) — the default mode.  Order-free prefix-sum
+    accumulation, threaded over fixed tree chunks (results independent
+    of the thread count); same semantics as the reference walk
+    (coal.cpp:4785-4882) modulo f32 rounding/order, which the
+    ``--sampling mc_parity`` replay preserves instead.  Returns False
+    when the native library is unavailable."""
+    import ctypes
+
+    from colate_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return False
+    T = anc.num_trees
+    N = anc.n_hap
+    M = 2 * N - 1
+    F_ep = epochs_focal.shape[0]
+    E = epochs.shape[0]
+
+    factors = spans.astype(np.float32).copy()
+    factors[pass_frac < cutoff] = np.nan
+    parent = np.ascontiguousarray(anc.parent, np.int32)
+    blen = np.ascontiguousarray(anc.branch_length, np.float64)
+    tb = np.ascontiguousarray(tree_blocks, np.int32)
+    # reference loop quirk: one extra pass on the last tree, factor -1
+    if not np.isnan(factors[T - 1]):
+        factors = np.append(factors, np.float32(-1.0))
+        parent = np.concatenate([parent, parent[T - 1 :]])
+        blen = np.concatenate([blen, blen[T - 1 :]])
+        tb = np.append(tb, tb[T - 1])
+    nb = int(tree_blocks.max()) + 1
+    buf_n = np.zeros((nb, F_ep, E, G), np.float64)
+    buf_d = np.zeros_like(buf_n)
+    fo = np.ascontiguousarray(focal, np.int32)
+    co = np.ascontiguousarray(
+        np.array([-1], np.int32) if cond_empty else cond.astype(np.int32)
+    )
+    gh = np.ascontiguousarray(goh, np.int32)
+    ep64 = np.ascontiguousarray(epochs, np.float64)
+    epf64 = np.ascontiguousarray(epochs_focal, np.float64)
+    p = lambda a: ctypes.c_void_p(a.ctypes.data)
+    lib.cn_cond_chrom_fast(
+        int(factors.shape[0]), M, N, p(parent), p(blen), p(factors), p(tb),
+        p(fo), fo.size, p(co), co.size, p(gh), G, p(ep64), E, p(epf64), F_ep,
+        p(buf_n), p(buf_d),
+    )
+    for k in range(chr_bin, nb):
+        blocks_num[k] = buf_n[k]
+        blocks_denom[k] = buf_d[k]
+    return True
+
+
 def run_cond_coal(args) -> int:
     if not args.input or not args.output or not args.poplabels or not args.groups:
         print("Needed: input, output, poplabels, groups.", file=sys.stderr)
@@ -380,6 +437,7 @@ def run_cond_coal(args) -> int:
     blocks_num: list[np.ndarray] = []
     blocks_denom: list[np.ndarray] = []
     chr_bin = 0
+    used_fast = False  # any chromosome through the analytic f64 kernel
     # the reference parses --mask_cutoff but CondCoalRates reads the
     # never-registered "cutoff" option (coal.cpp:5237 vs Colate.cpp:30),
     # so the effective cutoff is ALWAYS the 0.9 default — replicated;
@@ -455,10 +513,24 @@ def run_cond_coal(args) -> int:
                 rec = _map_recrates(ps, pe, has, gmap)
                 pass_frac = np.where(has & (rec > 0.1), 0.0, pass_frac)
 
-        # native kernel: bit-exact f32 accumulation in the reference's
-        # scalar order (native/cond.cpp) at C++ speed — required to match
-        # the binary at scale, where float32 rounding over millions of
-        # adds is part of the observable output
+        # default (analytic) mode: order-free f64 prefix-sum kernel,
+        # threaded (native/cond.cpp:cn_cond_chrom_fast).  --sampling
+        # mc_parity (and the sample-age-aware variant) instead replays
+        # the reference's f32 accumulation order bit-exactly
+        # (cn_cond_chrom) — there the rounding pattern over millions of
+        # adds is part of the observable output.
+        parity = (getattr(args, "sampling", None) or "analytic") == "mc_parity"
+        if (
+            T and not parity and sample_ages is None
+            and _cond_chrom_fast_native(
+                anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal,
+                cond, cond_empty, goh, G, epochs, epochs_focal,
+                blocks_num, blocks_denom,
+            )
+        ):
+            used_fast = True
+            chr_bin = max_blk + 1
+            continue
         if T and _cond_chrom_native(
             anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal,
             cond, cond_empty, goh, G, epochs, epochs_focal,
@@ -536,15 +608,17 @@ def run_cond_coal(args) -> int:
             else:
                 w = np.zeros(num_blocks)
                 np.add.at(w, rng.uniform_int(0, num_blocks - 1, num_blocks), 1.0)
-            # block reduce + divide in float32, sequential block order —
-            # matching the reference's res_num accumulation
-            # (coal.cpp:5540-5556, CollapsedMatrix<float>)
-            res_num = np.zeros((F_ep, E, G), np.float32)
-            res_den = np.zeros((F_ep, E, G), np.float32)
+            # replay blocks: block reduce + divide in float32, sequential
+            # block order — matching the reference's res_num accumulation
+            # (coal.cpp:5540-5556, CollapsedMatrix<float>); the analytic
+            # f64 kernel's blocks reduce in f64
+            rdt = np.float64 if used_fast else np.float32
+            res_num = np.zeros((F_ep, E, G), rdt)
+            res_den = np.zeros((F_ep, E, G), rdt)
             for k in range(num_blocks):
-                wk = np.float32(w[k])
-                res_num += wk * blocks_num[k].astype(np.float32)
-                res_den += wk * blocks_denom[k].astype(np.float32)
+                wk = rdt(w[k])
+                res_num += wk * blocks_num[k].astype(rdt)
+                res_den += wk * blocks_denom[k].astype(rdt)
             with np.errstate(divide="ignore", invalid="ignore"):
                 rates = res_num / res_den
             for e1 in range(F_ep):

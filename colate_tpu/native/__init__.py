@@ -171,6 +171,15 @@ def load():
         + [P, ctypes.c_int64, P, ctypes.c_int64]  # epochs E, epochs_focal F
         + [P, P, P]                          # sample_ages|NULL, num, denom
     )
+    lib.cn_cond_chrom_fast.restype = None
+    lib.cn_cond_chrom_fast.argtypes = (
+        [ctypes.c_int64] * 3                 # T, M, N
+        + [P, P, P, P]                       # parent, blen, factors, blocks
+        + [P, ctypes.c_int64, P, ctypes.c_int64]  # focal, n, cond, n
+        + [P, ctypes.c_int64]                # group_of_hap, G
+        + [P, ctypes.c_int64, P, ctypes.c_int64]  # epochs E, epochs_focal F
+        + [P, P]                             # num, denom (f64)
+    )
     lib.cn_bam_open.restype = ctypes.c_void_p
     lib.cn_bam_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

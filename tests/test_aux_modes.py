@@ -95,7 +95,8 @@ def cond_fixture(tmp_path_factory):
     return dict(prefix=prefix, chrfile=chrfile, pop=pop)
 
 
-def _cond_args(prefix, chrfile, pop, out, groups="FOC,CON", boots=1):
+def _cond_args(prefix, chrfile, pop, out, groups="FOC,CON", boots=1,
+               sampling="analytic"):
     class Args:
         input = prefix
         chr_file = chrfile
@@ -112,6 +113,7 @@ def _cond_args(prefix, chrfile, pop, out, groups="FOC,CON", boots=1):
         output = out
 
     Args.groups = groups
+    Args.sampling = sampling
     return Args
 
 
@@ -145,12 +147,32 @@ def test_cond_coal_rates_byte_parity_at_scale(oracle, tmp_path):
     from colate_tpu.models.cond_coal import run_cond_coal
 
     out = os.path.join(root, "our.txt")
-    run_cond_coal(_cond_args(prefix, chrfile, pop, out, boots=4))
+    run_cond_coal(
+        _cond_args(prefix, chrfile, pop, out, boots=4, sampling="mc_parity")
+    )
     with open(ref_out) as fh:
         ref = fh.read()
     with open(out) as fh:
         ours = fh.read()
     assert ref == ours
+
+    # the default analytic f64 kernel (cn_cond_chrom_fast) must agree
+    # with the replay to f32 accumulation tolerance at the same scale
+    out2 = os.path.join(root, "our_analytic.txt")
+    run_cond_coal(_cond_args(prefix, chrfile, pop, out2, boots=4))
+    with open(out2) as fh:
+        ours2 = fh.read()
+    assert ours2.splitlines()[0] == ref.splitlines()[0]
+    n_checked = 0
+    for r, o in zip(ref.splitlines()[1:], ours2.splitlines()[1:]):
+        rp, op = r.split(), o.split()
+        assert rp[:4] == op[:4], (r, o)
+        if rp[4] not in ("nan", "-nan", "inf", "-inf"):
+            np.testing.assert_allclose(
+                float(op[4]), float(rp[4]), rtol=1e-4, err_msg=(r, o)
+            )
+            n_checked += 1
+    assert n_checked > 50
 
 
 @pytest.mark.oracle
