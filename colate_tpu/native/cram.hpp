@@ -1,14 +1,18 @@
-// From-scratch CRAM 3.0 decoder (read path) for the BAM pileup engine.
+// From-scratch CRAM 3.0 + 2.x decoder (read path) for the BAM pileup
+// engine.
 //
 // The reference reaches CRAM transparently through htslib's sam_open
 // (include/vcf/htslib.cpp:171-230); this is an independent
-// implementation of the CRAM 3.0 specification's read path for the
+// implementation of the CRAM specification's read path for the
 // profile real encoders emit: EXTERNAL / constant-HUFFMAN /
 // BYTE_ARRAY_STOP / BYTE_ARRAY_LEN record codecs over raw, gzip and
-// rANS-4x8 (order 0/1) compressed blocks.  Bit-packed core codecs
-// (BETA, full HUFFMAN trees, SUBEXP, GAMMA) are not emitted by the
-// encoders we target; hitting one raises a clear error instead of
-// decoding garbage.
+// rANS-4x8 (order 0/1) compressed blocks.  CRAM 2.x (2.0/2.1)
+// containers differ only in the record counters (itf8, ltf8 since 3.0)
+// and the absence of block/container CRC32 trailers; both profiles are
+// parsed (tests/test_cram.py: 2.1 pileup byte-identical to BAM).
+// Bit-packed core codecs (BETA, full HUFFMAN trees, SUBEXP, GAMMA) are
+// not emitted by the encoders we target; hitting one raises a clear
+// error instead of decoding garbage.
 //
 // Containers stream one at a time (bounded memory); each record is
 // reconstructed into the BAM record wire layout (same byte offsets) so
@@ -241,7 +245,8 @@ struct Block {
   std::vector<uint8_t> data;  // uncompressed
 };
 
-static bool read_block(ByteCursor& c, Block& b, std::string& err) {
+static bool read_block(ByteCursor& c, Block& b, std::string& err,
+                       int vmajor = 3) {
   b.method = c.u8();
   b.ctype = c.u8();
   b.cid = c.itf8();
@@ -253,7 +258,7 @@ static bool read_block(ByteCursor& c, Block& b, std::string& err) {
   }
   const uint8_t* payload = c.p + c.off;
   c.off += (size_t)csize;
-  c.off += 4;  // crc32 (unchecked)
+  if (vmajor >= 3) c.off += 4;  // crc32 (unchecked; absent before 3.0)
   switch (b.method) {
     case 0:
       b.data.assign(payload, payload + csize);
@@ -473,6 +478,7 @@ struct Reader {
   std::vector<std::pair<size_t, size_t>> slice_spans;  // offsets in cbuf
   size_t slice_idx = 0;
   bool eof_ = false;
+  int vmaj = 3;  // CRAM major version (2.x / 3.0 read profiles)
 
   ~Reader() {
     if (f) fclose(f);
@@ -489,17 +495,22 @@ struct Reader {
       err = "not a CRAM file";
       return false;
     }
-    if (def[4] != 3) {
+    // 3.0 and 2.x (2.0/2.1) read profiles; 2.x differs only in the
+    // container/slice record counters (itf8 vs ltf8) and the absence of
+    // block/container CRC32 trailers (spec history; format studied from
+    // the public CRAM specification)
+    if (def[4] != 3 && def[4] != 2) {
       err = "unsupported CRAM major version " + std::to_string(def[4]);
       return false;
     }
+    vmaj = def[4];
     // first container: SAM header text
     std::vector<uint8_t> body;
     int32_t refid;
     if (!read_container(body, refid)) return false;
     ByteCursor c{body.data(), body.size(), 0, true};
     Block hb;
-    if (!read_block(c, hb, err)) return false;
+    if (!read_block(c, hb, err, vmaj)) return false;
     // SAM header block: i32 text length + text
     if (hb.data.size() < 4) {
       err = "bad CRAM SAM header";
@@ -547,12 +558,15 @@ struct Reader {
     c.itf8();  // start
     c.itf8();  // span
     c.itf8();  // n records
-    c.ltf8();  // counter
+    if (vmaj >= 3)
+      c.ltf8();  // counter (ltf8 since 3.0)
+    else
+      c.itf8();  // counter (itf8 in 2.x)
     c.ltf8();  // bases
     c.itf8();  // n blocks
     int32_t nl = c.itf8();
     for (int32_t i = 0; i < nl; i++) c.itf8();
-    c.off += 4;  // crc
+    if (vmaj >= 3) c.off += 4;  // crc (absent before 3.0)
     if (!c.ok) {
       err = "truncated CRAM container header";
       return false;
@@ -584,7 +598,7 @@ struct Reader {
       if (!read_container(cbuf, refid)) return false;  // eof_ or err
       ByteCursor c{cbuf.data(), cbuf.size(), 0, true};
       Block first;
-      if (!read_block(c, first, err)) return false;
+      if (!read_block(c, first, err, vmaj)) return false;
       if (first.ctype != 1) {
         if (cbuf.empty() || first.ctype == 0) continue;  // e.g. EOF marker
         err = "expected CRAM compression header block";
@@ -600,7 +614,7 @@ struct Reader {
         // peek: slice header block begins each slice
         Block sb;
         size_t save = c.off;
-        if (!read_block(c, sb, err)) return false;
+        if (!read_block(c, sb, err, vmaj)) return false;
         if (sb.ctype != 2) {
           err = "expected CRAM slice header block";
           return false;
@@ -610,12 +624,15 @@ struct Reader {
         sc.itf8();  // start
         sc.itf8();  // span
         sc.itf8();  // nrec
-        sc.ltf8();  // counter
+        if (vmaj >= 3)
+          sc.ltf8();  // counter (itf8 in 2.x)
+        else
+          sc.itf8();
         int32_t nb = sc.itf8();
         // skip this slice's data blocks
         for (int32_t i = 0; i < nb; i++) {
           Block db;
-          if (!read_block(c, db, err)) return false;
+          if (!read_block(c, db, err, vmaj)) return false;
         }
         slice_spans.emplace_back(lo, c.off);
         (void)save;
@@ -631,13 +648,16 @@ struct Reader {
     slice = Slice();
     ByteCursor c{p, n, 0, true};
     Block sb;
-    if (!read_block(c, sb, err)) return false;
+    if (!read_block(c, sb, err, vmaj)) return false;
     ByteCursor sc{sb.data.data(), sb.data.size(), 0, true};
     slice.refid = sc.itf8();
     slice.start = sc.itf8();
     slice.span = sc.itf8();
     slice.nrec = sc.itf8();
-    sc.ltf8();  // counter
+    if (vmaj >= 3)
+      sc.ltf8();  // counter (itf8 in 2.x)
+    else
+      sc.itf8();
     int32_t nb = sc.itf8();
     int32_t nids = sc.itf8();
     for (int32_t i = 0; i < nids; i++) sc.itf8();
@@ -646,7 +666,7 @@ struct Reader {
     slice.ext.reserve((size_t)nb);
     for (int32_t i = 0; i < nb; i++) {
       Block db;
-      if (!read_block(c, db, err)) return false;
+      if (!read_block(c, db, err, vmaj)) return false;
       if (db.ctype == 4) slice.ext.push_back(std::move(db));
       // core block (ctype 5) must be empty for the supported profile
       else if (db.ctype == 5 && !db.data.empty()) {

@@ -1,8 +1,9 @@
-/* Test-only fixture generator: BAM -> CRAM 3.0 via the REFERENCE's
+/* Test-only fixture generator: BAM -> CRAM via the REFERENCE's
  * vendored htslib (built out-of-tree by tools/build_reference_oracle.sh).
  * Used solely to produce golden CRAM inputs for the from-scratch CRAM
  * decoder in colate_tpu/native/hts.cpp; nothing here ships in the
- * framework.  Usage: cram_fixture in.bam ref.fa out.cram [seqs_per_slice]
+ * framework.  Usage: cram_fixture in.bam ref.fa out.cram [version]
+ * where version is e.g. "3.0" (default) or "2.1".
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -11,7 +12,7 @@
 
 int main(int argc, char** argv) {
   if (argc < 4) {
-    fprintf(stderr, "usage: %s in.bam ref.fa out.cram [v]\n", argv[0]);
+    fprintf(stderr, "usage: %s in.bam ref.fa out.cram [version]\n", argv[0]);
     return 2;
   }
   samFile* in = sam_open(argv[1], "r");
@@ -20,6 +21,10 @@ int main(int argc, char** argv) {
   if (!hdr) { fprintf(stderr, "bad header\n"); return 1; }
   samFile* out = sam_open(argv[3], "wc");
   if (!out) { perror("out"); return 1; }
+  if (argc > 4 && hts_set_opt(out, CRAM_OPT_VERSION, argv[4]) != 0) {
+    fprintf(stderr, "CRAM_OPT_VERSION %s failed\n", argv[4]);
+    return 1;
+  }
   if (hts_set_fai_filename(out, argv[2]) != 0) {
     fprintf(stderr, "hts_set_fai_filename failed (need %s.fai?)\n", argv[2]);
     return 1;
