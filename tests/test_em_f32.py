@@ -15,6 +15,19 @@ Measured behaviour (r3, CPU XLA and v5e give the same picture):
   "polish" phase moves the result *away* from the f64 run — both are
   mid-transient points, see VERDICT r2 weak #3 investigation.)
 
+Round-5 isolation measurement (VERDICT r4 #5 asked whether compensated
+accumulation of the count-weighted einsums would fix the tail): mixed-
+precision 2000-iteration runs on the bench fixture show the reductions
+are NOT the source — f64 E-step terms + f32 reductions reproduce the
+f64 tail to ~1e-6, while f32 E-step terms + f64 (i.e. exact) reductions
+leave the tail error unchanged (~1e-2).  And restarting the f64 EM from
+the f32-converged rates walks the tail *further* from the f64 result
+the longer it runs (7e-3 after 10 iters -> 3e-1 after 1000): the tail
+epochs sit on a nearly-flat likelihood manifold where any trajectory
+perturbation relocates the stopping point.  Compensated sums cannot
+help; the tier contract below is the intrinsic one.
+(test_f32_reductions_not_the_error_source pins the isolation result.)
+
 The contract pinned here, end-to-end through the full mut pipeline:
 
 - identified rates (>= 1e-4, the magnitude of data-rich epochs):
@@ -119,3 +132,93 @@ def test_f32_den_no_cancellation_extreme_rates():
         m = np.abs(a64) > 1e-300
         rel = np.abs(a32[m] - a64[m]) / np.abs(a64[m])
         assert rel.max() < 5e-5, f"{name}: f32 relerr {rel.max():.2e}"
+
+
+def test_f32_reductions_not_the_error_source(tmp_path):
+    """VERDICT r4 #5 proposed compensated accumulation of the
+    count-weighted num/den einsums.  Isolation: run fixed-iteration EMs
+    where the E-step precision and the reduction precision differ.  If
+    the reductions were the error source, f64 E-step + f32 reductions
+    would show the f32 tail error; measured, it reproduces f64 to ~1e-6
+    while f32 E-step + f64 reductions keeps the full f32 tail error —
+    the tail lives in the per-bin terms' trajectory, not the sums."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from colate_tpu.config import age_bin_centers
+    from colate_tpu.models.mut_em import compute_suffstats, resolve_tmp_inputs
+    from colate_tpu.ops.bootstrap import (
+        bootstrap_weights, redistribute_emp, weighted_counts,
+    )
+    from colate_tpu.ops.em import _e_step_all_bins, _m_step
+    from colate_tpu.ops.epochs import epochs_from_bins
+
+    fix = make_fixture(str(tmp_path / "fix"), n_per_chrom=3000, seed=17)
+    cfg = MutRunConfig(
+        mut=fix["mut_prefix"], output=str(tmp_path / "o"),
+        chr_list=fix["chroms"], target_tmp=fix["target"],
+        reference_tmp=fix["reference"], bins="3,7,0.2", seed=2,
+        num_bootstrap=4,
+    )
+    chroms, mut_files, tm, rm = resolve_tmp_inputs(cfg)
+    sh_b, ns_b, se_b, ne_b, _, nb = compute_suffstats(
+        cfg, chroms, mut_files, tm, rm, 0.0, 0.0, False, None, 2, {},
+    )
+    w = bootstrap_weights(4, nb, seed=2)
+    sc, nc, se, ne = weighted_counts(w, sh_b, ns_b, se_b, ne_b)
+    sc = redistribute_emp(sc, se, ne)
+    epochs, _ = epochs_from_bins("3,7,0.2", 28.0, 0.0)
+    init = np.full(epochs.shape, 1 / 20000.0)
+
+    @partial(jax.jit, static_argnames=("estep_f32", "red_f32", "iters"))
+    def run_mixed(ep, r0, s, n, estep_f32, red_f32, iters):
+        E = ep.shape[0]
+        t64 = jnp.asarray(age_bin_centers())
+        k = jnp.clip(
+            jnp.searchsorted(ep, t64, side="right") - 1, 0, E - 1
+        ).astype(jnp.int32)
+        edt = jnp.float32 if estep_f32 else jnp.float64
+        rdt = jnp.float32 if red_f32 else jnp.float64
+        e_step_b = jax.vmap(
+            lambda r: _e_step_all_bins(ep.astype(edt), r, t64.astype(edt), k)
+        )
+        s = s.astype(rdt)
+        n = n.astype(rdt)
+
+        def body(i, rates):
+            ns_, ds_, _, nn_, dn_, _ = e_step_b(rates.astype(edt))
+            ns_, ds_, nn_, dn_ = (
+                x.astype(rdt) for x in (ns_, ds_, nn_, dn_)
+            )
+            num = jnp.einsum("bn,bne->be", s, ns_) + jnp.einsum(
+                "bn,bne->be", n, nn_
+            )
+            den = jnp.einsum("bn,bne->be", s, ds_) + jnp.einsum(
+                "bn,bne->be", n, dn_
+            )
+            return jax.vmap(_m_step)(
+                rates.astype(rdt), num, den
+            ).astype(jnp.float64)
+
+        r = jnp.broadcast_to(r0.astype(jnp.float64)[None, :], (s.shape[0], E))
+        return jax.lax.fori_loop(0, iters, body, r)
+
+    ITERS = 1200
+    args = (jnp.asarray(epochs), jnp.asarray(init), jnp.asarray(sc),
+            jnp.asarray(nc))
+    r_ff = np.asarray(run_mixed(*args, estep_f32=False, red_f32=False,
+                                iters=ITERS))
+    r_mixed = np.asarray(run_mixed(*args, estep_f32=False, red_f32=True,
+                                   iters=ITERS))
+    m = r_ff >= 1e-6
+    assert m.sum() >= 8
+    rel_red = np.abs(r_mixed[m] - r_ff[m]) / r_ff[m]
+    # reduction precision alone contributes <=1e-3 on the tail tier —
+    # two decades below the ~1e-2 f32 tail in BENCH_DETAILS, so
+    # compensated reduction accumulation cannot close that gap.  (The
+    # full contrast needs the bench fixture's bootstrap-weighted counts;
+    # the whole-genome-scale measurement lives in the module docstring.)
+    assert rel_red.max() <= 1e-3, (
+        f"reduction-precision tail effect {rel_red.max():.2e}"
+    )
