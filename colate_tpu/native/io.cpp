@@ -1850,6 +1850,44 @@ inline double fast_strtod(const char* b, const char* e, bool& ok) {
   const char* q = b;
   bool neg = false;
   if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  const int64_t L = e - q;
+  // SWAR fast shape "[<=8 digits][.<=7 digits]" (covers printf-style
+  // branch lengths); anything else drops to the byte loop below with
+  // identical semantics.  8-byte loads are safe: all callers pass
+  // fields inside slurp/MappedFile buffers with >=8 readable bytes
+  // past the data end.
+  if (L >= 1 && L <= 16) {
+    uint64_t w;
+    memcpy(&w, q, 8);
+    const uint64_t d = w ^ 0x3030303030303030ULL;
+    const uint64_t nd =
+        ((d + 0x7676767676767676ULL) | d) & 0x8080808080808080ULL;
+    int run1 = nd ? (__builtin_ctzll(nd) >> 3) : 8;
+    if (run1 > L) run1 = (int)L;
+    if (run1 >= 1) {
+      uint32_t ip = 0, fp = 0;
+      if (run1 == (int)L) {  // pure integer, <=8 digits: exact
+        swar_try_digits(w, run1, &ip);
+        ok = true;
+        return neg ? -(double)ip : (double)ip;
+      }
+      if (q[run1] == '.') {
+        const char* fq = q + run1 + 1;
+        const int fr = (int)(e - fq);
+        if (fr >= 1 && fr <= 7 && run1 + fr <= 15) {
+          uint64_t w2;
+          memcpy(&w2, fq, 8);
+          if (swar_try_digits(w2, fr, &fp)) {
+            swar_try_digits(w, run1, &ip);
+            ok = true;
+            const uint64_t m = (uint64_t)ip * (uint64_t)kP10I[fr] + fp;
+            double v = (double)m / kP10D[fr];
+            return neg ? -v : v;
+          }
+        }
+      }
+    }
+  }
   uint64_t m = 0;
   int digs = 0, frac = 0;
   bool seen_dot = false;
