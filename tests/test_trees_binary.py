@@ -191,3 +191,52 @@ def test_write_trees_reference_roundtrip(ts_fix, tmp_path):
                 out.append(k)
         return out
     assert dedup(got) == dedup(src)
+
+
+def test_read_foreign_trees_tolerates_metadata_and_multimutations(ts_fix, tmp_path):
+    """Foreign tskit files carry tables and columns Relate never writes
+    (metadata, populations, provenance, multiple mutations per site);
+    the reader must load them anyway — it reads only the keys it needs
+    and keeps every mutation row (VERDICT r4 residue #3; reference
+    tolerance: tree_sequence.hpp ConvertFromTreeSequence accepts
+    arbitrary imports)."""
+    ks = kastore_read(ts_fix["trees"])
+    # graft foreign content onto the reference dump: metadata columns,
+    # extra tables, a provenance record, and a second mutation on site 0
+    ks["nodes/metadata"] = np.frombuffer(b"\x01" * 4, np.int8).copy()
+    ks["nodes/metadata_offset"] = np.zeros(
+        ks["nodes/time"].shape[0] + 1, np.uint32
+    )
+    ks["populations/metadata"] = np.zeros(0, np.int8)
+    ks["populations/metadata_offset"] = np.zeros(1, np.uint32)
+    ks["provenances/record"] = np.frombuffer(b'{"x":1}', np.int8).copy()
+    ks["provenances/record_offset"] = np.array([0, 7], np.uint32)
+    ks["mutations/site"] = np.concatenate(
+        [ks["mutations/site"], ks["mutations/site"][:1]]
+    )
+    ks["mutations/node"] = np.concatenate(
+        [ks["mutations/node"], ks["mutations/node"][:1]]
+    )
+    ds = bytes(ks["mutations/derived_state"].view(np.uint8)) + b"T"
+    ks["mutations/derived_state"] = np.frombuffer(ds, np.int8).copy()
+    off = ks["mutations/derived_state_offset"].astype(np.uint64)
+    ks["mutations/derived_state_offset"] = np.concatenate(
+        [off, [off[-1] + 1]]
+    ).astype(off.dtype)
+    foreign = str(tmp_path / "foreign.trees")
+    kastore_write(foreign, ks)
+
+    tb = read_trees_file(foreign)
+    n_mut_ref = read_trees_file(ts_fix["trees"]).mut_site.shape[0]
+    assert tb.mut_site.shape[0] == n_mut_ref + 1  # both mutations kept
+    assert tb.mut_derived[-1] == "T"
+    # trees unaffected by the foreign columns: conversion still works
+    anc = AncFile.read(ts_fix["prefix"] + "_chr1.anc")
+    anc2 = tables_to_anc(tb, anc.n_hap)
+    assert anc2.parent.shape == (anc.num_trees, 2 * anc.n_hap - 1)
+    ages = node_ages(anc).astype(np.float64)
+    ages2 = node_ages(anc2).astype(np.float64)
+    for t in (0, anc.num_trees - 1):
+        assert _tree_key(anc.parent[t], ages[t], anc.n_hap) == _tree_key(
+            anc2.parent[t], ages2[t], anc.n_hap
+        )
