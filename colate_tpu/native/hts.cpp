@@ -296,7 +296,9 @@ struct BgzfParallel {
         break;
       }
       size_t take = std::min(n - got, s.out.size() - out_pos);
-      std::memcpy(dst + got, s.out.data() + out_pos, take);
+      // empty slots (e.g. the BGZF EOF marker block) have a null
+      // data(); memcpy's nonnull contract forbids it even for n=0
+      if (take) std::memcpy(dst + got, s.out.data() + out_pos, take);
       out_pos += take;
       got += take;
       if (out_pos == s.out.size()) {
