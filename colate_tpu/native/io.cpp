@@ -1945,6 +1945,54 @@ inline bool g_f64(const char*& p, const char* e, double& v) {
   const char* q = p;
   bool neg = false;
   if (q < e && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+  // SWAR fast shape "[1-7 digits][.0-7 digits]" (printf-style branch
+  // lengths); digit runs that might extend past one 8-byte probe, and
+  // every other shape, drop to the byte loop below (8-byte loads are
+  // in-bounds: slurp/MappedFile guarantee >=8 readable bytes past end)
+  if (q < e) {
+    uint64_t w;
+    memcpy(&w, q, 8);
+    const uint64_t d1 = w ^ 0x3030303030303030ULL;
+    const uint64_t nd1 =
+        ((d1 + 0x7676767676767676ULL) | d1) & 0x8080808080808080ULL;
+    int run1 = nd1 ? (__builtin_ctzll(nd1) >> 3) : 8;
+    const int64_t avail = e - q;
+    if (run1 > avail) run1 = (int)avail;
+    if (run1 >= 1 && run1 <= 7) {
+      uint32_t ip = 0;
+      const char nc1 = run1 < avail ? q[run1] : '\0';
+      if (nc1 != '.') {
+        if (nc1 == 'e' || nc1 == 'E' || nc1 == 'x' || nc1 == 'X')
+          return false;
+        swar_try_digits(w, run1, &ip);
+        v = neg ? -(double)ip : (double)ip;
+        p = q + run1;
+        return true;
+      }
+      const char* fq = q + run1 + 1;
+      const int64_t favail = e - fq;
+      uint64_t w2;
+      memcpy(&w2, fq, 8);
+      const uint64_t d2 = w2 ^ 0x3030303030303030ULL;
+      const uint64_t nd2 =
+          ((d2 + 0x7676767676767676ULL) | d2) & 0x8080808080808080ULL;
+      int run2 = nd2 ? (__builtin_ctzll(nd2) >> 3) : 8;
+      if (run2 > favail) run2 = (int)favail;
+      if (run2 <= 7) {
+        const char nc2 = run2 < favail ? fq[run2] : '\0';
+        if (nc2 == 'e' || nc2 == 'E' || nc2 == 'x' || nc2 == 'X')
+          return false;
+        uint32_t fp = 0;
+        swar_try_digits(w, run1, &ip);
+        if (run2) swar_try_digits(w2, run2, &fp);
+        const uint64_t m = (uint64_t)ip * (uint64_t)kP10I[run2] + fp;
+        v = (double)m / kP10D[run2];
+        if (neg) v = -v;
+        p = fq + run2;
+        return true;
+      }
+    }
+  }
   uint64_t m = 0;
   int digs = 0, frac = 0;
   bool dot = false;
