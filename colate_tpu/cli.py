@@ -131,9 +131,13 @@ def _print_rusage() -> None:
 def main(argv: list[str] | None = None) -> int:
     """CLI entry point; prints the rusage report on the way out (once
     per call — no atexit, so repeated library/test invocations don't
-    stack handlers)."""
+    stack handlers).  Input/usage errors print like the reference's
+    error blocks (Colate.cpp:51-105) instead of tracebacks."""
     try:
         return _dispatch(argv)
+    except (ValueError, FileNotFoundError) as exc:
+        print(f"####### error #######\n{exc}", file=sys.stderr)
+        return 1
     finally:
         _print_rusage()
 

@@ -406,3 +406,14 @@ def test_distributed_flags_parse():
 
 def test_invalid_mode_rc():
     assert cli.main(["--mode", "bogus", "-o", "x"]) == 2
+
+
+def test_missing_inputs_clean_error(tmp_path, capsys):
+    """Input errors print the reference-style error block, not a
+    traceback (Colate.cpp error paths exit with a message)."""
+    rc = cli.main(["--mode", "mut", "--bins", "3,7,0.5",
+                   "-o", str(tmp_path / "x")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "####### error #######" in err
+    assert "mode mut needs" in err
