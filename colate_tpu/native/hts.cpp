@@ -507,7 +507,11 @@ struct CramStream {
         err = rd.err;
         return false;
       }
-      if (!rd.next_slice()) return false;  // EOF or error
+      if (!rd.next_slice()) {
+        // a parse error (e.g. unsupported codec) must not read as EOF
+        if (!rd.err.empty()) err = rd.err;
+        return false;
+      }
     }
     refid = cur.refid;
     pos = cur.pos;
@@ -706,6 +710,13 @@ struct AlnStream {
   const char* contig() const {
     return is_cram ? cram.contig() : bam.contig();
   }
+  // non-empty after next() returns false for a reason other than EOF
+  // (e.g. an unsupported CRAM codec); BAM decode errors raise via their
+  // own paths
+  const std::string& stream_err() const {
+    static const std::string none;
+    return is_cram ? cram.err : none;
+  }
   const unsigned char* seq4() { return is_cram ? cram.seq4() : bam.seq4(); }
   const unsigned char* qual() { return is_cram ? cram.qual() : bam.qual(); }
   char base_at(int j) { return is_cram ? cram.base_at(j) : bam.base_at(j); }
@@ -752,6 +763,8 @@ struct BamPileup {
     if (stream_end) return false;
     if (!bam.next()) {
       stream_end = true;
+      if (!bam.stream_err().empty() && error.empty())
+        error = bam.stream_err();  // decode error, not EOF
       return false;
     }
     have_rec = true;
@@ -856,7 +869,7 @@ struct BamPileup {
       if (!process_loaded(true)) return -1;  // garbled-qual first read
     } else {
       eof = true;
-      return 0;
+      return error.empty() ? 0 : -1;  // decode error, not a clean EOF
     }
     // drain_contig: provably count-equivalent to the reference's
     // horizon-limited read_to_pos walk for monotone queries
