@@ -136,7 +136,17 @@ def main(argv: list[str] | None = None) -> int:
     try:
         return _dispatch(argv)
     except (ValueError, FileNotFoundError) as exc:
-        print(f"####### error #######\n{exc}", file=sys.stderr)
+        # COLATE_TPU_DEBUG=1 keeps the full traceback so internal
+        # invariant failures aren't mistaken for bad-input errors
+        import os
+        import traceback
+
+        if os.environ.get("COLATE_TPU_DEBUG"):
+            traceback.print_exc()
+        print(
+            f"####### error #######\n{type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
         return 1
     finally:
         _print_rusage()

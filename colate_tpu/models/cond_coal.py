@@ -22,9 +22,21 @@ Replicated reference quirks:
   epochs_focal[1] = exp(ln10·1e5)/ypg = inf (coal.cpp:5149-5156);
 - epoch grids are float32; per-tree spans are float32.
 
-The inner accumulation is vectorised by grouping conditional haplotypes
-by their LCA depth on f's path and counting sibling leaves per group
-(counts per node precomputed), instead of the reference's
+Two execution modes (same dispatch shape as mode mut's --sampling):
+
+- default (analytic): order-free f64 prefix-sum kernel
+  (native/cond.cpp:cn_cond_chrom_fast) — exposures collapse to
+  h_e(ancestor) − h_e(coal) differences accumulated once per ancestor
+  via per-focal prefix sums, O(F·depth·E) per tree, threaded over
+  fixed tree chunks with thread-count-independent results; rates agree
+  with the reference to within its own f32 accumulation drift (~2e-4
+  at 50k trees).
+- --sampling mc_parity: bit-exact f32 replay of the reference's scalar
+  add order (native/cond.cpp:cn_cond_chrom) — byte-identical output.
+
+The sample-age-aware variant (coal.cpp:4885-4999) and the Python
+fallback group conditional haplotypes by their LCA depth on f's path
+and count sibling leaves per group, instead of the reference's
 O(F·C·depth·leaves) scalar loops.
 """
 
@@ -283,6 +295,24 @@ def _map_recrates(ps_arr, pe_arr, has, gmap) -> np.ndarray:
     return out
 
 
+def _cond_marshal(anc, spans, pass_frac, cutoff, tree_blocks, focal, cond,
+                  cond_empty, goh):
+    """Shared ctypes marshalling for the two native CondCoalRates
+    kernels: masked f32 factors (NaN = mask/map filtered), contiguous
+    tree arrays, and the focal/conditional/group id vectors."""
+    factors = spans.astype(np.float32).copy()
+    factors[pass_frac < cutoff] = np.nan
+    parent = np.ascontiguousarray(anc.parent, np.int32)
+    blen = np.ascontiguousarray(anc.branch_length, np.float64)
+    tb = np.ascontiguousarray(tree_blocks, np.int32)
+    fo = np.ascontiguousarray(focal, np.int32)
+    co = np.ascontiguousarray(
+        np.array([-1], np.int32) if cond_empty else cond.astype(np.int32)
+    )
+    gh = np.ascontiguousarray(goh, np.int32)
+    return factors, parent, blen, tb, fo, co, gh
+
+
 def _cond_chrom_native(
     anc, spans, pass_frac, cutoff, tree_blocks, chr_bin, focal, cond,
     cond_empty, goh, G, epochs, epochs_focal, blocks_num, blocks_denom,
@@ -307,11 +337,12 @@ def _cond_chrom_native(
     F_ep = epochs_focal.shape[0]
     E = epochs.shape[0]
 
-    factors = spans.astype(np.float32).copy()
-    factors[pass_frac < cutoff] = np.nan
-    parent = np.ascontiguousarray(anc.parent, np.int32)
-    blen = np.ascontiguousarray(anc.branch_length, np.float64)
-    tb = np.ascontiguousarray(tree_blocks, np.int32)
+    factors, parent, blen, tb, fo, co, gh = _cond_marshal(
+        anc, spans, pass_frac, cutoff, tree_blocks, focal, cond, cond_empty,
+        goh,
+    )
+    # reference loop quirk: one extra pass on the last tree, factor -1,
+    # appended so its f32 adds land LAST (the replay preserves order)
     if not np.isnan(factors[T - 1]):
         factors = np.append(factors, np.float32(-1.0))
         parent = np.concatenate([parent, parent[T - 1 :]])
@@ -320,11 +351,6 @@ def _cond_chrom_native(
     nb = int(tree_blocks.max()) + 1
     buf_n = np.zeros((nb, F_ep, E, G), np.float32)
     buf_d = np.zeros_like(buf_n)
-    fo = np.ascontiguousarray(focal, np.int32)
-    co = np.ascontiguousarray(
-        np.array([-1], np.int32) if cond_empty else cond.astype(np.int32)
-    )
-    gh = np.ascontiguousarray(goh, np.int32)
     ep32 = np.ascontiguousarray(np.float32(epochs))
     epf32 = np.ascontiguousarray(np.float32(epochs_focal))
     sa_p = None
@@ -367,33 +393,31 @@ def _cond_chrom_fast_native(
     F_ep = epochs_focal.shape[0]
     E = epochs.shape[0]
 
-    factors = spans.astype(np.float32).copy()
-    factors[pass_frac < cutoff] = np.nan
-    parent = np.ascontiguousarray(anc.parent, np.int32)
-    blen = np.ascontiguousarray(anc.branch_length, np.float64)
-    tb = np.ascontiguousarray(tree_blocks, np.int32)
-    # reference loop quirk: one extra pass on the last tree, factor -1
-    if not np.isnan(factors[T - 1]):
-        factors = np.append(factors, np.float32(-1.0))
-        parent = np.concatenate([parent, parent[T - 1 :]])
-        blen = np.concatenate([blen, blen[T - 1 :]])
-        tb = np.append(tb, tb[T - 1])
+    factors, parent, blen, tb, fo, co, gh = _cond_marshal(
+        anc, spans, pass_frac, cutoff, tree_blocks, focal, cond, cond_empty,
+        goh,
+    )
     nb = int(tree_blocks.max()) + 1
     buf_n = np.zeros((nb, F_ep, E, G), np.float64)
     buf_d = np.zeros_like(buf_n)
-    fo = np.ascontiguousarray(focal, np.int32)
-    co = np.ascontiguousarray(
-        np.array([-1], np.int32) if cond_empty else cond.astype(np.int32)
-    )
-    gh = np.ascontiguousarray(goh, np.int32)
     ep64 = np.ascontiguousarray(epochs, np.float64)
     epf64 = np.ascontiguousarray(epochs_focal, np.float64)
     p = lambda a: ctypes.c_void_p(a.ctypes.data)
     lib.cn_cond_chrom_fast(
-        int(factors.shape[0]), M, N, p(parent), p(blen), p(factors), p(tb),
+        T, M, N, p(parent), p(blen), p(factors), p(tb),
         p(fo), fo.size, p(co), co.size, p(gh), G, p(ep64), E, p(epf64), F_ep,
         p(buf_n), p(buf_d),
     )
+    # reference loop quirk: one extra pass on the last tree with factor
+    # -1 — the f64 kernel is order-free, so run it as a second T=1 call
+    # on views of the same arrays (no whole-chromosome copies)
+    if not np.isnan(factors[T - 1]):
+        neg = np.array([-1.0], np.float32)
+        lib.cn_cond_chrom_fast(
+            1, M, N, p(parent[T - 1 :]), p(blen[T - 1 :]), p(neg),
+            p(tb[T - 1 :]), p(fo), fo.size, p(co), co.size, p(gh), G,
+            p(ep64), E, p(epf64), F_ep, p(buf_n), p(buf_d),
+        )
     for k in range(chr_bin, nb):
         blocks_num[k] = buf_n[k]
         blocks_denom[k] = buf_d[k]

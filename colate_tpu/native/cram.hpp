@@ -625,9 +625,9 @@ struct Reader {
         sc.itf8();  // span
         sc.itf8();  // nrec
         if (vmaj >= 3)
-          sc.ltf8();  // counter (itf8 in 2.x)
+          sc.ltf8();  // counter (ltf8 since 3.0)
         else
-          sc.itf8();
+          sc.itf8();  // counter (itf8 in 2.x)
         int32_t nb = sc.itf8();
         // skip this slice's data blocks
         for (int32_t i = 0; i < nb; i++) {
@@ -655,9 +655,9 @@ struct Reader {
     slice.span = sc.itf8();
     slice.nrec = sc.itf8();
     if (vmaj >= 3)
-      sc.ltf8();  // counter (itf8 in 2.x)
+      sc.ltf8();  // counter (ltf8 since 3.0)
     else
-      sc.itf8();
+      sc.itf8();  // counter (itf8 in 2.x)
     int32_t nb = sc.itf8();
     int32_t nids = sc.itf8();
     for (int32_t i = 0; i < nids; i++) sc.itf8();

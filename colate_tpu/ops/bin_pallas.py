@@ -300,7 +300,10 @@ def bin_sites_pallas(sites, age: float = 0.0, interpret: bool | None = None):
                 acc += np.asarray(pending.pop(0), np.float64)[: max(nb, 1)]
         for out in pending:
             acc += np.asarray(out, np.float64)[: max(nb, 1)]
-    except Exception:  # Mosaic/platform gaps -> XLA path
+    except Exception as exc:  # Mosaic/platform gaps -> XLA path
+        from colate_tpu.utils.progress import log_event
+
+        log_event("bin_pallas_fallback", error=repr(exc))
         return None
     res = []
     for j in range(4):

@@ -42,12 +42,11 @@ def make_mesh(n_devices: int | None = None):
     from jax.sharding import Mesh
 
     backend = os.environ.get("COLATE_MESH_BACKEND")
-    if backend:
-        devs = jax.local_devices(backend=backend)
-    else:
-        devs = jax.devices()
-        if n_devices is not None and len(devs) < n_devices:
-            devs = jax.local_devices(backend="cpu")
+    devs = jax.local_devices(backend=backend) if backend else jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # same virtual-CPU fallback on both branches (no-op when the
+        # pinned backend already is cpu)
+        devs = jax.local_devices(backend="cpu")
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("d",))
@@ -60,6 +59,23 @@ def _pad_to(x: np.ndarray, n: int, fill=0):
     return np.concatenate([x, pad])
 
 
+def _balanced_cuts(allowed: np.ndarray, total: int, nd: int) -> np.ndarray:
+    """[nd+1] nondecreasing boundaries drawn from the `allowed` cut
+    points (which must start at 0 and end at `total`), each nearest to
+    its even-split target."""
+    bounds = np.zeros(nd + 1, np.int64)
+    bounds[nd] = total
+    for d in range(1, nd):
+        target = (total * d) // nd
+        i = int(np.searchsorted(allowed, target, "left"))
+        if i >= allowed.size:
+            i = allowed.size - 1
+        elif i > 0 and target - allowed[i - 1] <= allowed[i] - target:
+            i -= 1
+        bounds[d] = allowed[i]
+    return np.maximum.accumulate(bounds)
+
+
 def _block_aligned_site_bounds(blk: np.ndarray, nd: int) -> np.ndarray:
     """[nd+1] site-index device boundaries that only cut at block-id
     changes, balancing site counts.  With nondecreasing ids this puts
@@ -68,21 +84,11 @@ def _block_aligned_site_bounds(blk: np.ndarray, nd: int) -> np.ndarray:
     the same argument the multihost chromosome partition makes
     (parallel/multihost.py)."""
     n = blk.size
-    bounds = np.zeros(nd + 1, np.int64)
-    bounds[nd] = n
     if n == 0:
-        return bounds
+        return np.zeros(nd + 1, np.int64)
     cut = np.flatnonzero(np.diff(blk)) + 1
     allowed = np.concatenate([[0], cut, [n]]).astype(np.int64)
-    for d in range(1, nd):
-        target = (n * d) // nd
-        i = int(np.searchsorted(allowed, target, "left"))
-        if i >= allowed.size:
-            i = allowed.size - 1
-        elif i > 0 and target - allowed[i - 1] <= allowed[i] - target:
-            i -= 1
-        bounds[d] = allowed[i]
-    return np.maximum.accumulate(bounds)
+    return _balanced_cuts(allowed, n, nd)
 
 
 def sharded_bin_sites(mesh, age_begin, age_end, w_shared, w_notshared, block_id,
@@ -201,17 +207,7 @@ def _sharded_bin_pallas(mesh, age_begin, age_end, w_shared, w_notshared,
     total = int(poff[-1])
     # device boundaries in packed coordinates, cut at run boundaries
     # (balancing packed length); every block stays whole on one device
-    dev_off = np.zeros(nd + 1, np.int64)
-    dev_off[nd] = total
-    for d in range(1, nd):
-        target = (total * d) // nd
-        i = int(np.searchsorted(poff, target, "left"))
-        if i >= poff.size:
-            i = poff.size - 1
-        elif i > 0 and target - poff[i - 1] <= poff[i] - target:
-            i -= 1
-        dev_off[d] = poff[i]
-    dev_off = np.maximum.accumulate(dev_off)
+    dev_off = _balanced_cuts(poff.astype(np.int64), total, nd)
     m = max(int(np.max(dev_off[1:] - dev_off[:-1])), 1)
     n_pad = bp._pad_pow2(m)
     slabs = np.zeros((nd, bp._ROWS, n_pad), np.float32)
@@ -236,7 +232,10 @@ def _sharded_bin_pallas(mesh, age_begin, age_end, w_shared, w_notshared,
         )
         sh = NamedSharding(mesh, P("d"))
         acc = np.asarray(mapped(jax.device_put(slabs, sh)), np.float64)
-    except Exception:  # Mosaic/platform gaps -> caller's XLA path
+    except Exception as exc:  # Mosaic/platform gaps -> caller's XLA path
+        from colate_tpu.utils.progress import log_event
+
+        log_event("sharded_bin_pallas_fallback", error=repr(exc))
         return None
     nb = max(num_blocks, 1)
     return tuple(
