@@ -68,3 +68,45 @@ def test_sharded_em_matches_batched(nd):
     np.testing.assert_array_equal(i_sh, np.asarray(i_ref))
     np.testing.assert_allclose(r_sh, np.asarray(r_ref), rtol=1e-12)
     np.testing.assert_allclose(l_sh, np.asarray(l_ref), rtol=1e-12)
+
+
+def test_mesh_size_bitwise_invariance():
+    """Block-aligned sharding + replicate-sequential EM make EVERY mesh
+    size produce bit-identical results (the property the driver's
+    multichip dryrun asserts end-to-end on the .coal bytes)."""
+    import numpy as np
+
+    from colate_tpu.ops.em import run_em_sequential
+    from colate_tpu.ops.epochs import epochs_from_bins
+    from colate_tpu.parallel.mesh import (
+        make_mesh, sharded_bin_sites, sharded_run_em,
+    )
+
+    g = np.random.default_rng(3)
+    n, nb = 15_000, 9
+    ae = np.exp(g.uniform(np.log(10.0), np.log(3e5), n))
+    ab = ae * g.uniform(0.0, 0.9, n)
+    ab[g.random(n) < 0.2] = 0.0
+    ws, wn = g.random(n), g.random(n)
+    blk = np.sort(g.integers(0, nb, n)).astype(np.int32)
+
+    ref_bins = None
+    for nd in (1, 2, 8):
+        out = sharded_bin_sites(
+            make_mesh(nd), ab, ae, ws, wn, blk, nb
+        )
+        if ref_bins is None:
+            ref_bins = out
+        else:
+            for a, b in zip(out, ref_bins):
+                np.testing.assert_array_equal(a, b)
+
+    epochs, _ = epochs_from_bins("3,7,0.25", 28.0, 0.0)
+    init = np.full(epochs.shape, 1 / 20000.0)
+    B = 6
+    sc = np.abs(g.normal(5.0, 2.0, (B, 185)))
+    nc = np.abs(g.normal(50.0, 10.0, (B, 185)))
+    r_seq = np.asarray(run_em_sequential(epochs, init, sc, nc)[0])
+    for nd in (2, 8):
+        r, _, _ = sharded_run_em(make_mesh(nd), epochs, init, sc, nc)
+        np.testing.assert_array_equal(r, r_seq)
