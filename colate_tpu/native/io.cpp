@@ -1550,19 +1550,24 @@ void scan_colatein_runs(const char* data, size_t size,
     const uint64_t nmask =
         (size_t)L >= 8 ? ~0ULL : ((1ULL << (8 * (size_t)L)) - 1);
     off += rec;
-    for (;;) {
-      if (size - off < rec) break;
+    // header match of the record at `o` (8-byte pad past EOF guaranteed)
+    auto hdr_match = [&](size_t o) {
       int32_t lc;
-      memcpy(&lc, data + off, 4);
-      if (lc != L) break;
+      memcpy(&lc, data + o, 4);
+      if (lc != L) return false;
       uint64_t w;
-      memcpy(&w, data + off + 4, 8);  // 8-byte pad past EOF guaranteed
-      if (((w ^ nm8) & nmask) != 0) break;
-      if ((size_t)L > 8 && memcmp(data + off + 12, seg.name.data() + 8,
-                                  (size_t)L - 8) != 0)
-        break;
-      off += rec;
-    }
+      memcpy(&w, data + o + 4, 8);
+      if (((w ^ nm8) & nmask) != 0) return false;
+      return (size_t)L <= 8 || memcmp(data + o + 12, seg.name.data() + 8,
+                                      (size_t)L - 8) == 0;
+    };
+    // unrolled x4 (almost every record continues the current run), then
+    // single-step to the exact boundary
+    while (size - off >= 4 * rec &&
+           (hdr_match(off) & hdr_match(off + rec) & hdr_match(off + 2 * rec) &
+            hdr_match(off + 3 * rec)))
+      off += 4 * rec;
+    while (size - off >= rec && hdr_match(off)) off += rec;
     seg.hi = off;
     out.push_back(std::move(seg));
   }
