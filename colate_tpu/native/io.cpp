@@ -2054,9 +2054,11 @@ bool parse_anc_range(const std::vector<const char*>& lo,
           t->blen[base + j] = bv;
           p = q + 1;
           if (minimal) {
-            const char* s4 = (const char*)memchr(p, ')', e - p);
-            if (!s4) goto bad;
-            p = s4 + 1;
+            // the ")" is ~10 bytes away ("ev sb se)"): an inline byte
+            // scan beats memchr's setup at that distance
+            while (p < e && *p != ')') p++;
+            if (p >= e) goto bad;
+            p++;
             continue;
           }
           goto tail_fields;
