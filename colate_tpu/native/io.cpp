@@ -360,6 +360,144 @@ inline double parse_age(const char* b, const char* e) {
   return (double)(ok ? v : strtof(b, nullptr));
 }
 
+#if defined(__x86_64__)
+static inline bool cpu_has_avx512bw() {
+  static const bool ok = __builtin_cpu_supports("avx512bw");
+  return ok;
+}
+
+// one 64-byte block's ';'/'\n' bitmasks (bit i = byte q[i] matches);
+// returns the combined mask, *nl the newline-only mask
+__attribute__((target("avx512bw"))) static uint64_t delim_mask64(
+    const char* q, uint64_t* nl) {
+  const __m512i v = _mm512_loadu_si512((const void*)q);
+  *nl = (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8('\n'));
+  return (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(';')) | *nl;
+}
+#endif  // __x86_64__
+
+// one .mut row given its field starts f[0..nf] and line end e.  f[i]
+// points just past the i-th ';'; nf is capped at 11, so f[11]-1 is the
+// ';' that terminates the mutation_type field (field 10).
+static bool mut_emit_row(const char* const* f, int nf, const char* e,
+                         const char* bufbase, MutTableC* t,
+                         std::string& err) {
+  if (nf < 11) {
+    err = "short .mut row at byte " + std::to_string((long)(f[0] - bufbase));
+    return false;
+  }
+  t->snp_id.push_back(parse_i64(f[0], f[1] - 1));
+  t->pos.push_back(parse_i64(f[1], f[2] - 1));
+  t->dist.push_back(parse_i64(f[2], f[3] - 1));
+  t->rsid.start();
+  t->rsid.append(f[3], f[4] - 1 - f[3]);
+  t->tree.push_back(parse_i64(f[4], f[5] - 1));
+  // branch: space-separated ints
+  {
+    const char* b = f[5];
+    const char* be = f[6] - 1;
+    int64_t cnt = 0;
+    while (b < be) {
+      while (b < be && (*b == ' ' || *b == '\t')) b++;
+      if (b >= be) break;
+      const char* s = b;
+      while (b < be && *b != ' ' && *b != '\t') b++;
+      t->branch_flat.push_back((int32_t)parse_i64(s, b));
+      cnt++;
+    }
+    t->num_branches.push_back(cnt);
+    t->branch_off.push_back((int64_t)t->branch_flat.size());
+  }
+  // f[6] = is_not_mapping (ignored, like the reference parser)
+  t->flipped.push_back(parse_i64(f[7], f[8] - 1));
+  // ages as float32 like the reference's std::stof; Clinger fast path
+  // with in-place strtof fallback (fields are ';'-terminated and never
+  // last-on-line, so strtof stops at the ';')
+  t->age_begin.push_back(parse_age(f[8], f[9] - 1));
+  t->age_end.push_back(parse_age(f[9], f[10] - 1));
+  // mutation_type: field 10, terminated by the 11th ';' (guaranteed by
+  // the nf >= 11 guard above); everything after it is `rest`
+  {
+    const char* m = f[10];
+    const char* me = f[11] - 1;
+    t->mtype.start();
+    t->mtype.append(m, me - m);
+    size_t len = (size_t)(me - m);
+    uint8_t v = (len == 3 && m[1] == '/' && anc_ok(m[0]) && der_ok(m[2]));
+    t->valid.push_back(v);
+    t->anc_code.push_back(v ? (uint8_t)m[0] : 0);
+    t->der_code.push_back(v ? (uint8_t)m[2] : 0);
+    t->rest.start();
+    if (f[11] < e) t->rest.append(f[11], e - f[11]);
+  }
+  return true;
+}
+
+// scalar (memchr) row loop — the portable path and the tail handler
+// behind the AVX-512 front-end
+static bool parse_mut_rows_scalar(const char* p, const char* end,
+                                  const char* bufbase, MutTableC* t,
+                                  std::string& err) {
+  const char* f[13];  // starts of fields 0..12
+  while (p < end) {
+    const char* e = (const char*)memchr(p, '\n', end - p);
+    if (!e) e = end;
+    if (e == p) {
+      p = e + 1;
+      continue;
+    }
+    int nf = 0;
+    f[0] = p;
+    const char* q = p;
+    while (nf < 11 && q < e) {
+      const char* s = (const char*)memchr(q, ';', e - q);
+      if (!s) break;
+      f[++nf] = s + 1;
+      q = s + 1;
+    }
+    if (!mut_emit_row(f, nf, e, bufbase, t, err)) return false;
+    p = e + 1;
+  }
+  return true;
+}
+
+#if defined(__x86_64__)
+// AVX-512 front-end: same block-mask scan as the fused prefilter;
+// stops before the last 64 bytes and hands the in-flight row plus tail
+// to the scalar loop
+__attribute__((target("avx512bw"))) static bool parse_mut_rows_avx512(
+    const char* p, const char* end, const char* bufbase, MutTableC* t,
+    std::string& err) {
+  const char* const stop = end - 64;
+  const char* f[13];
+  int nf = 0;
+  const char* rs = p;
+  f[0] = rs;
+  const char* q = p;
+  uint64_t mnl;
+  uint64_t m = delim_mask64(q, &mnl);
+  for (;;) {
+    while (m == 0) {
+      q += 64;
+      if (q > stop)
+        return parse_mut_rows_scalar(rs, end, bufbase, t, err);
+      m = delim_mask64(q, &mnl);
+    }
+    const int b = __builtin_ctzll(m);
+    m &= m - 1;
+    const char* c = q + b;
+    if ((mnl >> b) & 1) {
+      if (c != rs && !mut_emit_row(f, nf, c, bufbase, t, err)) return false;
+      rs = c + 1;
+      nf = 0;
+      f[0] = rs;
+    } else if (nf < 11) {
+      f[++nf] = c + 1;
+    }
+  }
+}
+#endif  // __x86_64__
+
 bool parse_mut_range(const char* p, const char* end, const char* bufbase,
                      MutTableC* t, std::string& err) {
   size_t nlines = (size_t)(end - p) / 48 + 4;  // lower-bound row estimate
@@ -377,74 +515,14 @@ bool parse_mut_range(const char* p, const char* end, const char* bufbase,
   t->valid.reserve(nlines);
   t->branch_off.push_back(0);
 
-  const char* f[12];   // start of fields 0..10 + end sentinel
-  while (p < end) {
-    const char* e = (const char*)memchr(p, '\n', end - p);
-    if (!e) e = end;
-    if (e == p) {
-      p = e + 1;
-      continue;
-    }
-    // locate the first 11 ';'-separated fields
-    int nf = 0;
-    f[0] = p;
-    const char* q = p;
-    while (nf < 11 && q < e) {
-      const char* s = (const char*)memchr(q, ';', e - q);
-      if (!s) break;
-      f[++nf] = s + 1;
-      q = s + 1;
-    }
-    if (nf < 11) {
-      err = "short .mut row at byte " + std::to_string((long)(p - bufbase));
-      return false;
-    }
-    t->snp_id.push_back(parse_i64(f[0], f[1] - 1));
-    t->pos.push_back(parse_i64(f[1], f[2] - 1));
-    t->dist.push_back(parse_i64(f[2], f[3] - 1));
-    t->rsid.start();
-    t->rsid.append(f[3], f[4] - 1 - f[3]);
-    t->tree.push_back(parse_i64(f[4], f[5] - 1));
-    // branch: space-separated ints
-    {
-      const char* b = f[5];
-      const char* be = f[6] - 1;
-      int64_t cnt = 0;
-      while (b < be) {
-        while (b < be && (*b == ' ' || *b == '\t')) b++;
-        if (b >= be) break;
-        const char* s = b;
-        while (b < be && *b != ' ' && *b != '\t') b++;
-        t->branch_flat.push_back((int32_t)parse_i64(s, b));
-        cnt++;
-      }
-      t->num_branches.push_back(cnt);
-      t->branch_off.push_back((int64_t)t->branch_flat.size());
-    }
-    // f[6] = is_not_mapping (ignored, like the reference parser)
-    t->flipped.push_back(parse_i64(f[7], f[8] - 1));
-    // ages as float32 like the reference's std::stof; Clinger fast path
-    // with in-place strtof fallback (fields are ';'-terminated and never
-    // last-on-line, so strtof stops at the ';')
-    t->age_begin.push_back(parse_age(f[8], f[9] - 1));
-    t->age_end.push_back(parse_age(f[9], f[10] - 1));
-    // mutation_type: up to the 11th ';' (or line end if none)
-    {
-      const char* m = f[10];
-      const char* s = (const char*)memchr(m, ';', e - m);
-      const char* me = s ? s : e;
-      t->mtype.start();
-      t->mtype.append(m, me - m);
-      size_t len = (size_t)(me - m);
-      uint8_t v = (len == 3 && m[1] == '/' && anc_ok(m[0]) && der_ok(m[2]));
-      t->valid.push_back(v);
-      t->anc_code.push_back(v ? (uint8_t)m[0] : 0);
-      t->der_code.push_back(v ? (uint8_t)m[2] : 0);
-      t->rest.start();
-      if (s && s + 1 < e) t->rest.append(s + 1, e - (s + 1));
-    }
-    p = e + 1;
-  }
+  bool ok;
+#if defined(__x86_64__)
+  if (cpu_has_avx512bw() && end - p > 256)
+    ok = parse_mut_rows_avx512(p, end, bufbase, t, err);
+  else
+#endif
+    ok = parse_mut_rows_scalar(p, end, bufbase, t, err);
+  if (!ok) return false;
   t->rsid.finish();
   t->mtype.finish();
   t->rest.finish();
@@ -1143,20 +1221,6 @@ void fused_parse_range_swar(const char* p, const char* end,
 }
 
 #if defined(__x86_64__)
-static inline bool cpu_has_avx512bw() {
-  static const bool ok = __builtin_cpu_supports("avx512bw");
-  return ok;
-}
-
-// one 64-byte block's ';'/'\n' bitmasks (bit i = byte q[i] matches);
-// returns the combined mask, *nl the newline-only mask
-__attribute__((target("avx512bw"))) static uint64_t delim_mask64(
-    const char* q, uint64_t* nl) {
-  const __m512i v = _mm512_loadu_si512((const void*)q);
-  *nl = (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8('\n'));
-  return (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(';')) | *nl;
-}
-
 // AVX-512 front-end: one compare per 64 input bytes produces the full
 // delimiter bitmask (measured ~8x the SWAR scan rate on this core), and
 // rows are assembled by walking mask bits.  Stops before the last 64
