@@ -2092,6 +2092,13 @@ inline bool g_f64(const char*& p, const char* e, double& v) {
 // minimal=true decodes only parent + branch_length (what the tree/LA/
 // cond estimators consume) and hops the "(ev sb se)" tail with one
 // memchr — roughly half the per-record work.
+//
+// Measured negative result (r5): replacing the per-record byte walk
+// with an AVX-512 ')'-position mask iterator (the fused_parse_range
+// pattern) ran 2-4x SLOWER here — the scan is a small fraction of the
+// per-record work (two number parses dominate), so the 512-bit
+// license/transition cost swamps the scan savings.  Don't retry
+// without profiling.
 bool parse_anc_range(const std::vector<const char*>& lo,
                      const std::vector<const char*>& hi, size_t t0, size_t t1,
                      int64_t M, bool minimal, AncC* t, std::string& err) {
