@@ -374,6 +374,42 @@ __attribute__((target("avx512bw"))) static uint64_t delim_mask64(
   *nl = (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8('\n'));
   return (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(';')) | *nl;
 }
+
+// shared AVX-512 delimiter-walk skeleton: walks the ';'/'\n' masks over
+// [p, end-64], assembling per-row field pointers f[0..11]; calls
+// emit(f, nf, row_end) per non-empty row (returning false stops the
+// walk as failure) and tail(rs, end) once for the in-flight row plus
+// the last <=64 bytes (loads are always in-bounds before that).
+template <class Emit, class Tail>
+__attribute__((target("avx512bw"))) static bool delim_rows_avx512(
+    const char* p, const char* end, Emit&& emit, Tail&& tail) {
+  const char* const stop = end - 64;
+  const char* f[12];
+  int nf = 0;
+  const char* rs = p;
+  f[0] = rs;
+  const char* q = p;
+  uint64_t mnl;
+  uint64_t m = delim_mask64(q, &mnl);
+  for (;;) {
+    while (m == 0) {
+      q += 64;
+      if (q > stop) return tail(rs, end);
+      m = delim_mask64(q, &mnl);
+    }
+    const int b = __builtin_ctzll(m);
+    m &= m - 1;
+    const char* c = q + b;
+    if ((mnl >> b) & 1) {
+      if (c != rs && !emit(f, nf, c)) return false;
+      rs = c + 1;
+      nf = 0;
+      f[0] = rs;
+    } else if (nf < 11) {
+      f[++nf] = c + 1;
+    }
+  }
+}
 #endif  // __x86_64__
 
 // one .mut row given its field starts f[0..nf] and line end e.  f[i]
@@ -438,7 +474,7 @@ static bool mut_emit_row(const char* const* f, int nf, const char* e,
 static bool parse_mut_rows_scalar(const char* p, const char* end,
                                   const char* bufbase, MutTableC* t,
                                   std::string& err) {
-  const char* f[13];  // starts of fields 0..12
+  const char* f[12];  // starts of fields 0..11 (nf capped at 11)
   while (p < end) {
     const char* e = (const char*)memchr(p, '\n', end - p);
     if (!e) e = end;
@@ -462,40 +498,22 @@ static bool parse_mut_rows_scalar(const char* p, const char* end,
 }
 
 #if defined(__x86_64__)
-// AVX-512 front-end: same block-mask scan as the fused prefilter;
-// stops before the last 64 bytes and hands the in-flight row plus tail
-// to the scalar loop
-__attribute__((target("avx512bw"))) static bool parse_mut_rows_avx512(
-    const char* p, const char* end, const char* bufbase, MutTableC* t,
-    std::string& err) {
-  const char* const stop = end - 64;
-  const char* f[13];
-  int nf = 0;
-  const char* rs = p;
-  f[0] = rs;
-  const char* q = p;
-  uint64_t mnl;
-  uint64_t m = delim_mask64(q, &mnl);
-  for (;;) {
-    while (m == 0) {
-      q += 64;
-      if (q > stop)
-        return parse_mut_rows_scalar(rs, end, bufbase, t, err);
-      m = delim_mask64(q, &mnl);
-    }
-    const int b = __builtin_ctzll(m);
-    m &= m - 1;
-    const char* c = q + b;
-    if ((mnl >> b) & 1) {
-      if (c != rs && !mut_emit_row(f, nf, c, bufbase, t, err)) return false;
-      rs = c + 1;
-      nf = 0;
-      f[0] = rs;
-    } else if (nf < 11) {
-      f[++nf] = c + 1;
-    }
-  }
+// AVX-512 front-end: the shared block-mask walk (delim_rows_avx512)
+// with the .mut row body; the in-flight row plus the last <=64 bytes
+// hand off to the scalar loop
+static bool parse_mut_rows_avx512(const char* p, const char* end,
+                                  const char* bufbase, MutTableC* t,
+                                  std::string& err) {
+  return delim_rows_avx512(
+      p, end,
+      [&](const char* const* f, int nf, const char* e) {
+        return mut_emit_row(f, nf, e, bufbase, t, err);
+      },
+      [&](const char* rs, const char* e2) {
+        return parse_mut_rows_scalar(rs, e2, bufbase, t, err);
+      });
 }
+
 #endif  // __x86_64__
 
 bool parse_mut_range(const char* p, const char* end, const char* bufbase,
@@ -1221,48 +1239,24 @@ void fused_parse_range_swar(const char* p, const char* end,
 }
 
 #if defined(__x86_64__)
-// AVX-512 front-end: one compare per 64 input bytes produces the full
-// delimiter bitmask (measured ~8x the SWAR scan rate on this core), and
-// rows are assembled by walking mask bits.  Stops before the last 64
-// bytes (loads are always in-bounds) and hands the unfinished row plus
-// tail to the SWAR scanner.
-__attribute__((target("avx512bw"))) static void fused_parse_range_avx512(
+// AVX-512 front-end: the shared block-mask walk (delim_rows_avx512,
+// one compare per 64 input bytes — measured ~8x the SWAR scan rate on
+// this core) with the prefilter row body; the in-flight row plus the
+// last <=64 bytes hand off to the SWAR scanner.
+static void fused_parse_range_avx512(
     const char* p, const char* end, const uint8_t* tmask, int64_t tmask_len,
     const uint8_t* rmask, int64_t rmask_len, double age, FilteredRows* out) {
-  const char* const stop = end - 64;  // last valid 64-byte load base
-  const char* f[12];
-  int nf = 0;
-  const char* rs = p;  // current row start
-  f[0] = rs;
-  const char* q = p;
-  uint64_t mnl;
-  uint64_t m = delim_mask64(q, &mnl);
-  for (;;) {
-    while (m == 0) {
-      q += 64;
-      if (q > stop) {
-        // finish the in-flight row + tail with the portable scanner
-        fused_parse_range_swar(rs, end, tmask, tmask_len, rmask, rmask_len,
+  delim_rows_avx512(
+      p, end,
+      [&](const char* const* f, int nf, const char* e) {
+        return fused_emit_row(f, nf, e, tmask, tmask_len, rmask, rmask_len,
+                              age, out);
+      },
+      [&](const char* rs, const char* e2) {
+        fused_parse_range_swar(rs, e2, tmask, tmask_len, rmask, rmask_len,
                                age, out);
-        return;
-      }
-      m = delim_mask64(q, &mnl);
-    }
-    const int b = __builtin_ctzll(m);
-    m &= m - 1;
-    const char* c = q + b;
-    if ((mnl >> b) & 1) {
-      if (c != rs &&
-          !fused_emit_row(f, nf, c, tmask, tmask_len, rmask, rmask_len, age,
-                          out))
-        return;
-      rs = c + 1;
-      nf = 0;
-      f[0] = rs;
-    } else if (nf < 11) {
-      f[++nf] = c + 1;
-    }
-  }
+        return true;
+      });
 }
 #endif  // __x86_64__
 

@@ -74,13 +74,8 @@ def test_mesh_size_bitwise_invariance():
     """Block-aligned sharding + replicate-sequential EM make EVERY mesh
     size produce bit-identical results (the property the driver's
     multichip dryrun asserts end-to-end on the .coal bytes)."""
-    import numpy as np
-
     from colate_tpu.ops.em import run_em_sequential
     from colate_tpu.ops.epochs import epochs_from_bins
-    from colate_tpu.parallel.mesh import (
-        make_mesh, sharded_bin_sites, sharded_run_em,
-    )
 
     g = np.random.default_rng(3)
     n, nb = 15_000, 9
